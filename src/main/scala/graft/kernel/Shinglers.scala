@@ -1,0 +1,152 @@
+package graft.kernel
+
+import graft.hash.Murmur3
+
+/** Shingler contract, ≅ AbstractShingler.process
+  * (/root/reference/mcrit/shinglers/AbstractShingler.py:41-58): generate
+  * string sequences, mmh3-hash each with the given seed, optionally append
+  * weight-1 XOR-remapped copies; empty generator output → [[0xFFFFFFFF]].
+  */
+abstract class Shingler(val name: String, val weight: Int, cfg: GraftConfig) {
+  final val HashMax = 0xffffffffL
+
+  def generateSequences(doc: TextNorm.Tokenized): Seq[String]
+
+  /** Returns one or more shingle groups (base + XORed weight copies). */
+  def process(doc: TextNorm.Tokenized, hashSeed: Int, useWeights: Boolean): Array[Array[Long]] = {
+    val seqs = generateSequences(doc)
+    if (seqs.isEmpty) return Array(Array(HashMax))
+    val base = seqs.iterator.map(s => Murmur3.hashU(s, hashSeed)).toArray
+    if (!useWeights || weight <= 1) Array(base)
+    else {
+      val out = new Array[Array[Long]](weight)
+      out(0) = base
+      var w = 1
+      while (w < weight) {
+        val xor = cfg.shinglerXorValues(w)
+        out(w) = base.map(_ ^ xor)
+        w += 1
+      }
+      out
+    }
+  }
+}
+
+/** k-gram shingler, ≅ EscapedBlockShingler
+  * (/root/reference/mcrit/shinglers/EscapedBlockShingler.py:25-65): per
+  * paragraph ("basic block"), emit sorted k-gram joins ";".join(sorted(gram))
+  * per sliding window; paragraphs with ≤ k tokens emit one whole-paragraph
+  * shingle.
+  */
+final class KGramShingler(cfg: GraftConfig, weight: Int)
+    extends Shingler("KGramShingler", weight, cfg) {
+  private val k = cfg.kGram
+
+  def generateSequences(doc: TextNorm.Tokenized): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = 0
+    while (p < doc.paraTokens.length) {
+      val toks = doc.paraTokens(p)
+      if (toks.length > k) {
+        var i = 0
+        val last = toks.length - k
+        while (i <= last) {
+          val gram = java.util.Arrays.copyOfRange(toks, i, i + k)
+          java.util.Arrays.sort(gram.asInstanceOf[Array[AnyRef]])
+          out += gram.mkString(";")
+          i += 1
+        }
+      } else if (toks.nonEmpty) {
+        out += toks.sorted.mkString(";")
+      }
+      p += 1
+    }
+    out.toSeq
+  }
+}
+
+/** Fuzzy document-stat shingler, ≅ FuzzyStatPairShingler
+  * (/root/reference/mcrit/shinglers/FuzzyStatPairShingler.py:47-105): seven
+  * scalar stats, each log-bucketed into a centered (lo, mid, mid, hi) weighted
+  * range and emitted as "{field}={count}:{bucket}" strings.
+  */
+final class FuzzyStatShingler(cfg: GraftConfig, weight: Int)
+    extends Shingler("FuzzyStatShingler", weight, cfg) {
+
+  private val stopwords: Set[String] = FuzzyStatShingler.Stopwords
+
+  def generateSequences(doc: TextNorm.Tokenized): Seq[String] = {
+    val numTokens = doc.numTokens
+    if (numTokens == 0) return Seq.empty
+    var numAlpha = 0
+    var numStop = 0
+    var numDigit = 0
+    val it = doc.allTokens
+    while (it.hasNext) {
+      val t = it.next()
+      if (t.forall(_.isLetter)) numAlpha += 1
+      if (stopwords.contains(t)) numStop += 1
+      if (t.exists(_.isDigit)) numDigit += 1
+    }
+    var numUpper = 0
+    for (t <- doc.rawToks) if (t.nonEmpty && t.charAt(0).isUpper) numUpper += 1
+    val numRaw = math.max(doc.rawToks.length, 1)
+    val maxPara = if (doc.paraTokens.isEmpty) 0 else doc.paraTokens.map(_.length).max
+    val uniq = doc.allTokens.toSet.size
+    // insertion-ordered like the reference's `fields` dict
+    val fields: Seq[(String, Long)] = Seq(
+      "num_alpha" -> numAlpha.toLong,
+      "num_stop" -> numStop.toLong,
+      "num_digit_rel" -> (100L * numDigit / numTokens),
+      "num_upper_rel" -> (100L * numUpper / numRaw),
+      "num_uniq_rel" -> (100L * uniq / numTokens),
+      "num_para" -> doc.paraTokens.length.toLong,
+      "max_para_size" -> maxPara.toLong
+    )
+    fields.flatMap { case (name, v) => bucketedValues(name, v) }
+  }
+
+  /** ≅ FuzzyStatPairShingler._create_bucketed_values (centered variant). */
+  def bucketedValues(fieldName: String, value: Long): Seq[String] = {
+    val (lo, mid, hi) = LogBucket.range(value)
+    val range = cfg.logBucketRange
+    if (!cfg.logBucketCentered) {
+      Seq(s"$fieldName:$lo", s"$fieldName:$mid", s"$fieldName:$hi")
+    } else {
+      val counts = scala.collection.mutable.Map.empty[Long, Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for ((bucket, index) <- Seq(lo, mid, hi).zipWithIndex) {
+        val distance = math.abs(index - range)
+        var d = distance
+        while (d <= range) {
+          val c = counts.getOrElse(bucket, 0) + 1
+          counts(bucket) = c
+          out += s"$fieldName=$c:$bucket"
+          d += 1
+        }
+      }
+      out.toSeq
+    }
+  }
+}
+
+object FuzzyStatShingler {
+  /** Tiny fixed English stopword list (public, standard set). */
+  val Stopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are",
+    "from", "not", "but", "have", "has", "had", "they", "you", "we")
+}
+
+object Shinglers {
+  /** Name-sorted active shinglers, ≅ ShingleLoader.getShinglers. */
+  def active(cfg: GraftConfig): Seq[Shingler] = {
+    cfg.shinglerWeights.toSeq.map { case (name, w) =>
+      name match {
+        case "KGramShingler" => new KGramShingler(cfg, w)
+        case "FuzzyStatShingler" => new FuzzyStatShingler(cfg, w)
+        case other => throw new IllegalArgumentException(s"unknown shingler $other")
+      }
+    }.sortBy(_.name)
+  }
+}

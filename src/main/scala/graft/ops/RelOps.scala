@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator analogs of the reference's reporting/query layer
+  * (SURVEY.md §2.7-2.8): aggregation rollups, argmax, top-k per group,
+  * filter batteries with HAVING, keyset pagination, frequency-penalty
+  * scalar — expressed as plain Catalyst plans over the TPC-H-ish tables.
+  */
+object RelOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** A1/A3 analog: grouped rollup with exact decimal money sums. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** V4 analog (parallel scoring + argmax): per group keep the max-score
+    * element, deterministic tie-break by smallest key.
+    */
+  def argmaxPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val best = orders.groupBy("o_custkey").agg(max("o_totalprice").as("max_price"))
+      .withColumnRenamed("o_custkey", "bk")
+    orders.join(best,
+        col("o_custkey") === col("bk") && col("o_totalprice") === col("max_price"))
+      .groupBy("o_custkey", "max_price")
+      .agg(min("o_orderkey").as("best_order"))
+  }
+
+  /** F2 analog: top-1 per group via window row_number. */
+  def topPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** F1 analog: composable filter battery + HAVING-style group filter. */
+  def filterBattery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F" && col("o_totalprice") > 1000)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .where(col("cnt") >= 2)
+
+  /** F6 analog: keyset pagination — cursor predicate (a > a0) OR (a = a0 AND
+    * b > b0), total order, limit. Pushes to the scan as a plain filter.
+    */
+  def keysetPage(spark: SparkSession, dir: String,
+      afterPrice: Double = 5000.0, afterKey: Long = 0L, pageSize: Int = 20): DataFrame =
+    t(spark, dir, "orders")
+      .where(col("o_totalprice") > afterPrice ||
+        (col("o_totalprice") === afterPrice && col("o_orderkey") > afterKey))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      .limit(pageSize)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** A2 analog: family-frequency penalty `1 if n<3 else 1+floor(log2 n)`,
+    * expressed with integer thresholds (engine-exact, no float log).
+    */
+  def frequencyPenalty(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("adjustment",
+      when(col("n") < 3, 1)
+        .when(col("n") < 4, 2).when(col("n") < 8, 3).when(col("n") < 16, 4)
+        .when(col("n") < 32, 5).when(col("n") < 64, 6).when(col("n") < 128, 7)
+        .otherwise(8))
+  }
+
+  /** Windowed event aggregation (tumbling processing-hour) over `events`. */
+  def eventWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      // window key as a string: engine-portable exact compare (timestamp
+      // physical representations differ between engines)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+
+  /** F3 analog (unique-score): per order, number of parts appearing in no
+    * other order, and the exclusive quantity share.
+    */
+  def uniqueScore(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val partOrders = li.groupBy("l_partkey")
+      .agg(countDistinct("l_orderkey").as("n_orders"))
+    li.join(partOrders, "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_orders") === 1, 1).otherwise(0)).as("n_unique_parts"))
+  }
+}

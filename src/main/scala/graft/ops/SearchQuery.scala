@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Mini search-query language → Catalyst `Column` predicates, ≅ the
+  * reference's pyparsing grammar + AST rewrites + backend transpile
+  * (Q1-Q3, /root/reference/mcrit/index/SearchQueryParser.py:83-179,
+  * SearchQueryTree.py:10-200): quoted strings, `field:value`,
+  * `field:<op>value` for < <= > >= = != ? !? (regex contains / not),
+  * AND / OR / NOT / implicit AND, parentheses. Bare terms expand to an OR
+  * of contains-conditions over the given default fields. NOT pushdown,
+  * constant folding etc. are Catalyst's job once we emit Columns.
+  */
+object SearchQuery {
+
+  sealed trait Node
+  final case class And(xs: List[Node]) extends Node
+  final case class Or(xs: List[Node]) extends Node
+  final case class Not(x: Node) extends Node
+  final case class Cond(field: String, op: String, value: String) extends Node
+  final case class Term(value: String) extends Node
+
+  // ---- parser (hand-rolled recursive descent) -------------------------
+
+  final class ParseException(msg: String) extends Exception(msg)
+
+  private final class P(s: String) {
+    private var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def eof: Boolean = { ws(); i >= s.length }
+    def peek: Char = s.charAt(i)
+    def tryConsume(tok: String): Boolean = {
+      ws()
+      if (s.regionMatches(true, i, tok, 0, tok.length)) {
+        val end = i + tok.length
+        val boundary = end >= s.length || !s.charAt(end).isLetter || !tok.head.isLetter
+        if (boundary) { i = end; return true }
+      }
+      false
+    }
+
+    def parseOr(): Node = {
+      var xs = List(parseAnd())
+      while (tryConsume("OR")) xs = parseAnd() :: xs
+      if (xs.size == 1) xs.head else Or(xs.reverse)
+    }
+
+    def parseAnd(): Node = {
+      var xs = List(parseNot())
+      var go = true
+      while (go) {
+        ws()
+        if (tryConsume("AND")) xs = parseNot() :: xs
+        else if (!eof && peek != ')' && !s.regionMatches(true, i, "OR", 0, 2)) {
+          // implicit AND
+          xs = parseNot() :: xs
+        } else go = false
+      }
+      if (xs.size == 1) xs.head else And(xs.reverse)
+    }
+
+    def parseNot(): Node =
+      if (tryConsume("NOT")) Not(parseNot()) else parseAtom()
+
+    def parseAtom(): Node = {
+      ws()
+      if (eof) throw new ParseException("unexpected end of query")
+      if (peek == '(') {
+        i += 1
+        val n = parseOr()
+        ws()
+        if (eof || peek != ')') throw new ParseException("missing )")
+        i += 1
+        n
+      } else if (peek == '"') {
+        Term(quoted())
+      } else {
+        val tok = bare()
+        val colon = tok.indexOf(':')
+        if (colon > 0) {
+          val field = tok.substring(0, colon)
+          var rest = tok.substring(colon + 1)
+          if (rest.isEmpty && !eof && peek == '"') rest = quoted()
+          val (op, v) =
+            if (rest.startsWith("<=")) ("<=", rest.drop(2))
+            else if (rest.startsWith(">=")) (">=", rest.drop(2))
+            else if (rest.startsWith("!?")) ("!?", rest.drop(2))
+            else if (rest.startsWith("!=")) ("!=", rest.drop(2))
+            else if (rest.startsWith("<")) ("<", rest.drop(1))
+            else if (rest.startsWith(">")) (">", rest.drop(1))
+            else if (rest.startsWith("?")) ("?", rest.drop(1))
+            else if (rest.startsWith("=")) ("=", rest.drop(1))
+            else ("=", rest)
+          Cond(field, op, v)
+        } else Term(tok)
+      }
+    }
+
+    private def quoted(): String = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') { sb += s.charAt(i); i += 1 }
+      if (i >= s.length) throw new ParseException("unterminated quote")
+      i += 1
+      sb.toString
+    }
+
+    private def bare(): String = {
+      ws()
+      val sb = new StringBuilder
+      while (i < s.length && !s.charAt(i).isWhitespace && s.charAt(i) != '(' && s.charAt(i) != ')') {
+        sb += s.charAt(i); i += 1
+      }
+      if (sb.isEmpty) throw new ParseException(s"unexpected char at $i")
+      sb.toString
+    }
+  }
+
+  def parse(query: String): Node = {
+    val p = new P(query)
+    val n = p.parseOr()
+    if (!p.eof) throw new ParseException("trailing input")
+    n
+  }
+
+  // ---- transpile to Column --------------------------------------------
+
+  /** numericFields get int coercion (≅ MemorySearchTranspiler int coercion,
+    * /root/reference/mcrit/storage/MemoryStorage.py:104-109).
+    */
+  def toColumn(node: Node, defaultFields: Seq[String],
+      numericFields: Set[String] = Set.empty): Column = node match {
+    case And(xs) => xs.map(toColumn(_, defaultFields, numericFields)).reduce(_ && _)
+    case Or(xs) => xs.map(toColumn(_, defaultFields, numericFields)).reduce(_ || _)
+    case Not(x) => !toColumn(x, defaultFields, numericFields)
+    case Term(v) =>
+      // bare term → OR of contains over default fields (≅ SearchFieldResolver)
+      defaultFields.map(f => col(f).cast("string").contains(v)).reduce(_ || _)
+    case Cond(field, op, v) =>
+      val c = col(field)
+      val value: Any =
+        if (numericFields.contains(field)) v.toLongOption.getOrElse(v) else v
+      op match {
+        case "=" => c === value
+        case "!=" => c =!= value
+        case "<" => c < value
+        case "<=" => c <= value
+        case ">" => c > value
+        case ">=" => c >= value
+        case "?" => c.cast("string").rlike(v)
+        case "!?" => !c.cast("string").rlike(v)
+      }
+  }
+
+  def predicate(query: String, defaultFields: Seq[String],
+      numericFields: Set[String] = Set.empty): Column =
+    toColumn(parse(query), defaultFields, numericFields)
+}

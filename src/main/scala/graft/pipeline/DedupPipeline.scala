@@ -1,0 +1,330 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import graft.kernel._
+import graft.hash.SimHash
+import graft.cluster.ConnectedComponents
+import graft.ledger.Ledger
+
+/** End-to-end near-duplicate detection + clustering over a Common-Crawl-style
+  * table (url, warc_ts, html, text, lang) — the Spark-native rebuild of the
+  * reference's match pipeline (/root/reference/mcrit/matchers/MatcherInterface.py:150-236):
+  *
+  *   extract → shingle → MinHash(64×8-bit segmented) + SimHash64 →
+  *   exact-hash channel (pichash analog, implies-match pruning) →
+  *   LSH band explode {4:20} → skew-aware candidate generation (group caps,
+  *   map-side partial counts, AQE skew join) → signature verification
+  *   (positional equality > 50) [+ exact k-gram Jaccard] →
+  *   large-star/small-star connected components → (url, cluster_id).
+  *
+  * Scale design notes (100 TB / 10^12 docs):
+  *  - One typed mapPartitions computes signature+simhash+exact hash per doc;
+  *    everything downstream is DataFrame/Catalyst (pruned, codegen'd).
+  *  - Exact-dup docs collapse to one representative BEFORE banding
+  *    (≅ PICHASH_IMPLIES_MINHASH_MATCH, MinHashConfig.py:35) — verbatim dups
+  *    (a large share of web text) never enter the quadratic path.
+  *  - Candidate generation: per-(band_id, band_hash) groups; group sizes are
+  *    counted with a partial-aggregating groupBy (hot keys combine map-side),
+  *    groups above `maxBandGroupSize` are dropped as stop-bands (boilerplate
+  *    collisions would be quadratic; other bands + the exact channel keep
+  *    recall), remaining pairs emitted via sorted-group flatMap.
+  *  - Verification joins pick broadcast vs sort-merge via Catalyst/AQE stats.
+  */
+final case class PipelineOptions(
+    maxBandGroupSize: Int = 500,
+    simHashChannel: Boolean = true,
+    simHashMaxHamming: Int = 3,
+    // simhash-rescued pairs (hamming ≤ max but minhash score ≤ threshold)
+    // must still clear this signature-score floor — guards precision when a
+    // corpus is boilerplate-heavy and simhash bit-majorities collapse
+    simHashScoreFloor: Double = 30.0,
+    jaccardVerify: Boolean = false,
+    jaccardThreshold: Double = 0.3,
+    numPartitions: Int = 0 // 0 = leave to session default
+)
+
+/** Per-doc computed features (one row per input url). */
+final case class DocSig(
+    doc_id: Long,
+    url: String,
+    n_tokens: Int,
+    hashable: Boolean,
+    exact_hash: Long,
+    has_exact: Boolean,
+    sig: Array[Byte],
+    simhash: Long)
+
+final class DedupPipeline(
+    spark: SparkSession,
+    cfg: GraftConfig = GraftConfig.default,
+    opts: PipelineOptions = PipelineOptions(),
+    ledger: Option[Ledger] = None) {
+
+  import spark.implicits._
+
+  /** Extraction: html → normalized text (deterministic, byte-stable per url).
+    * When `fromHtml` is false the `text` column is trusted as pre-extracted.
+    */
+  def extractStage(input: DataFrame, fromHtml: Boolean): DataFrame = {
+    if (fromHtml) {
+      val extractUdf = udf((html: Array[Byte]) => TextNorm.extract(html))
+      input.withColumn("text", extractUdf(col("html"))).select("url", "text")
+    } else input.select("url", "text")
+  }
+
+  /** One typed pass per doc: tokenize, shingle, sign (MinHash + SimHash),
+    * exact hash. ≅ Worker.calculateMinHashes (/root/reference/mcrit/Worker.py:550-589),
+    * with Spark partition parallelism replacing the multiprocessing pool.
+    */
+  def signatureStage(docs: DataFrame): Dataset[DocSig] = {
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    docs.select("url", "text").as[(String, String)].mapPartitions { it =>
+      val c = bcCfg.value
+      val hasher = new MinHasher(c)
+      val kgram = new KGramShingler(c, c.shinglerWeights.getOrElse("KGramShingler", 3))
+      it.map { case (url, text) =>
+        val tok = TextNorm.tokenize(if (text == null) "" else text)
+        val n = tok.numTokens
+        val hashable = n > c.minTokens
+        val docId = SimHash.hash64("doc:" + url)
+        val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
+        val hasExact = n >= c.exactHashMinTokens
+        val exactHash = if (hasExact) SimHash.hash64(normalized) else 0L
+        if (hashable) {
+          val sig = hasher.signatureBytes(tok)
+          val sh = SimHash.of(kgram.generateSequences(tok))
+          DocSig(docId, url, n, hashable = true, exactHash, hasExact, sig, sh)
+        } else {
+          DocSig(docId, url, n, hashable = false, exactHash, hasExact, Array.emptyByteArray, 0L)
+        }
+      }
+    }
+  }
+
+  // ---- exact channel (pichash analog) ---------------------------------
+
+  /** Representative per exact-hash group + member→rep edges.
+    * ≅ V6/V7: exact dups match at score 100 and are pruned from the fuzzy
+    * path (MatcherInterface.py:137-148,273-308).
+    */
+  def exactGroups(sigs: DataFrame): (DataFrame, DataFrame) = {
+    val withExact = sigs.where(col("has_exact"))
+    val reps = withExact.groupBy("exact_hash")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+    val exactEdges = withExact.select("exact_hash", "doc_id")
+      .join(reps.select("exact_hash", "rep_id"), "exact_hash")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("doc_id").as("dst"))
+    (reps, exactEdges)
+  }
+
+  // ---- LSH banding ----------------------------------------------------
+
+  /** Explode band hashes for the representative signatures:
+    * (band_id, band_hash, doc_id). ≅ L2/L3 band table
+    * (StorageInterface.py:731-746, MongoDbStorage.py:868-895).
+    */
+  def bandStage(repSigs: DataFrame): DataFrame = {
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val bandsUdf = udf((sig: Array[Byte]) => {
+      val c = bcCfg.value
+      val b = new Bands(c)
+      val unpacked = new MinHasher(c).unpack(sig)
+      b.bandHashes(unpacked)
+    })
+    repSigs.select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+  }
+
+  /** SimHash banding: 4 × 16-bit chunk channel (its own exact banding). */
+  def simhashBandStage(repSigs: DataFrame): DataFrame = {
+    val chunksUdf = udf((v: Long) => SimHash.chunks16(v))
+    repSigs.select(col("doc_id"), col("simhash"),
+        posexplode(chunksUdf(col("simhash"))).as(Seq("band_id", "chunk")))
+      .select(col("doc_id"),
+        (col("band_id") + lit(100)).as("band_id"), // disjoint id space vs minhash bands
+        col("chunk").cast("long").as("band_hash"))
+  }
+
+  // ---- candidate generation (the load-bearing shuffle) ----------------
+
+  /** Per-band-group pair emission with stop-band capping; pair kept when it
+    * collides in ≥ bandMatchesRequired bands (≅ L4,
+    * MongoDbStorage.py:897-930 with BAND_MATCHES_REQUIRED=2).
+    *
+    * Group sizes are bounded by `maxBandGroupSize`: a hotter group is
+    * boilerplate-degenerate (cf. the reference's unbounded Mongo
+    * function_ids arrays, a non-issue at 10^5 but quadratic death at 10^12)
+    * and is dropped; its members still pair through their other 19 bands or
+    * the exact channel.
+    */
+  def candidateStage(bands: DataFrame, bandMatchesRequired: Int): DataFrame = {
+    val cap = opts.maxBandGroupSize
+    val pairs = bands
+      .select(col("band_id"), col("band_hash"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey { case (bandId, bandHash, _) => (bandId, bandHash) }
+      .flatMapGroups { (_: (Int, Long), rows: Iterator[(Int, Long, Long)]) =>
+        // stream the group; cap quadratic blowup at stop-band threshold
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        var overflow = false
+        while (rows.hasNext) {
+          val id = rows.next()._3
+          if (!overflow) {
+            ids += id
+            if (ids.length > cap) overflow = true
+          }
+        }
+        if (overflow || ids.length < 2) Iterator.empty
+        else {
+          val arr = ids.toArray
+          java.util.Arrays.sort(arr)
+          for {
+            i <- arr.indices.iterator
+            j <- (i + 1) until arr.length
+          } yield (arr(i), arr(j))
+        }
+      }
+      .toDF("a", "b")
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+      .where(col("n_bands") >= bandMatchesRequired)
+  }
+
+  // ---- verification ---------------------------------------------------
+
+  /** Join candidates back to signatures and keep pairs above the matching
+    * threshold (strict >, ≅ MINHASH_MATCHING_THRESHOLD=50 at
+    * MinHasher.py:108-124). Broadcast-vs-SMJ picked by Catalyst/AQE stats.
+    */
+  def verifyStage(candidates: DataFrame, sigs: DataFrame): DataFrame = {
+    // local capture: keep the closure free of `this` (ledger isn't serializable)
+    val bits = cfg.signatureBits
+    val scoreUdf = udf((a: Array[Byte], b: Array[Byte]) => MinHasher.score(a, b, bits))
+    val sigCols = sigs.select(col("doc_id"), col("sig"), col("simhash"))
+    val joined = candidates
+      .join(sigCols.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("sig", "sig_a").withColumnRenamed("simhash", "sh_a"), "a")
+      .join(sigCols.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("sig", "sig_b").withColumnRenamed("simhash", "sh_b"), "b")
+    val hammingUdf = udf((x: Long, y: Long) => SimHash.hammingDistance(x, y))
+    val scored = joined.withColumn("score", scoreUdf(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
+    // a pair survives via the minhash threshold OR the simhash hamming ball
+    val minhashOk = col("score") > lit(cfg.matchingThreshold)
+    val simhashOk =
+      if (opts.simHashChannel)
+        col("hamming") <= lit(opts.simHashMaxHamming) &&
+          col("score") > lit(opts.simHashScoreFloor)
+      else lit(false)
+    scored.where(minhashOk || simhashOk)
+      .select(col("a"), col("b"), col("score"), col("hamming"), col("n_bands"))
+  }
+
+  /** Optional exact k-gram Jaccard verification for surviving pairs
+    * (north_rule upgrade over the reference's signature-only check).
+    */
+  def jaccardStage(pairs: DataFrame, docs: DataFrame, sigs: DataFrame): DataFrame = {
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val shingleSetUdf = udf((text: String) => {
+      val c = bcCfg.value
+      val kg = new KGramShingler(c, 1)
+      kg.generateSequences(TextNorm.tokenize(text)).distinct.toArray
+    })
+    val texts = docs.join(sigs.select("doc_id", "url"), "url")
+      .select(col("doc_id"), shingleSetUdf(col("text")).as("shingles"))
+    val j = pairs
+      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sh_set_a"), "a")
+      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sh_set_b"), "b")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_set_a"), col("sh_set_b"))) === 0, lit(1.0))
+          .otherwise(size(array_intersect(col("sh_set_a"), col("sh_set_b"))).cast("double") /
+            size(array_union(col("sh_set_a"), col("sh_set_b")))))
+    j.where(col("jaccard") >= lit(opts.jaccardThreshold))
+      .select("a", "b", "score", "hamming", "n_bands", "jaccard")
+  }
+
+  // ---- full run -------------------------------------------------------
+
+  /** Returns (url, doc_id, cluster_id): cluster_id is the min doc_id of the
+    * near-duplicate component (singletons cluster with themselves).
+    */
+  def run(input: DataFrame, fromHtml: Boolean = true): DataFrame = {
+    val shuffleN =
+      if (opts.numPartitions > 0) opts.numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    def runStage(name: String, params: String, upstream: Seq[String])(f: => DataFrame): DataFrame =
+      ledger match {
+        case Some(l) => l.stage(name, l.descriptor(name, params, upstream))(f)
+        case None => f
+      }
+
+    val docs = extractStage(input, fromHtml)
+    // cache the FULL signature table: it feeds banding, verification and the
+    // final assignment join — without this the typed signature pass (the
+    // dominant CPU cost) would run twice
+    val sigs0 = runStage("signatures", s"fromHtml=$fromHtml", Nil) {
+      signatureStage(docs).toDF()
+    }.cache()
+    val sigs = sigs0.where(col("hashable"))
+
+    val (reps, exactEdges0) = exactGroups(sigs)
+    val exactEdges = runStage("exact_edges", "", Seq("signatures")) { exactEdges0 }
+
+    // band only one signature per exact-group (implies-match pruning);
+    // docs without an exact hash still band individually
+    val repSigs = sigs
+      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(sigs.where(!col("has_exact")))
+
+    val bandTable = runStage("bands", s"bands=${cfg.bands}", Seq("signatures")) {
+      val mh = bandStage(repSigs)
+      val all = if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
+      all.repartition(shuffleN, col("band_id"), col("band_hash"))
+    }
+
+    val candidates = runStage("candidates",
+        s"cap=${opts.maxBandGroupSize},r=${cfg.bandMatchesRequired}", Seq("bands")) {
+      candidateStage(bandTable, cfg.bandMatchesRequired)
+    }
+
+    val verified0 = verifyStage(candidates, sigs)
+    val verified = runStage("verified",
+        s"thr=${cfg.matchingThreshold},jac=${opts.jaccardVerify}", Seq("candidates")) {
+      if (opts.jaccardVerify) jaccardStage(verified0, docs, sigs)
+      else verified0.withColumn("jaccard", lit(null).cast("double"))
+    }
+
+    val lshEdges = verified.select(col("a").as("src"), col("b").as("dst"))
+    val edges = exactEdges.select("src", "dst").unionByName(lshEdges)
+
+    val components = runStage("components", "", Seq("verified")) {
+      ConnectedComponents.run(edges.withColumnRenamed("src", "lo").withColumnRenamed("dst", "hi")
+        .select(col("lo").as("src"), col("hi").as("dst")))
+    }
+
+    // every doc: component if present, else itself
+    val allDocs = sigs0.select("url", "doc_id")
+    allDocs.join(components.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .select("url", "doc_id", "cluster_id")
+  }
+
+  /** Verified duplicate pairs only (no clustering) — used by tests/bench. */
+  def dupPairs(input: DataFrame, fromHtml: Boolean = true): DataFrame = {
+    val docs = extractStage(input, fromHtml)
+    val sigs = signatureStage(docs).toDF().where(col("hashable")).cache()
+    val (reps, exactEdges) = exactGroups(sigs)
+    val repSigs = sigs
+      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(sigs.where(!col("has_exact")))
+    val mh = bandStage(repSigs)
+    val all = if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
+    val candidates = candidateStage(all, cfg.bandMatchesRequired)
+    verifyStage(candidates, sigs)
+      .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
+      .unionByName(exactEdges.select(col("src"), col("dst"),
+        lit(100.0).as("score"), lit(0).as("hamming")))
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.CorpusGen
+import graft.pipeline.{DedupPipeline, PipelineOptions}
+import graft.cluster.ConnectedComponents
+import graft.kernel.TextNorm
+
+class CorpusSpec extends SparkTestBase {
+  test("extraction is byte-identical to the source text for every url") {
+    val corpus = CorpusGen.generate(spark, sf = 0.003, seed = 42L).cache()
+    val rows = corpus.select("url", "html", "text").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val extracted = TextNorm.extract(r.getAs[Array[Byte]]("html"))
+      assert(extracted == r.getAs[String]("text"), s"extraction drift for ${r.getString(0)}")
+    }
+  }
+
+  test("corpus generation is deterministic") {
+    val a = CorpusGen.generate(spark, 0.002, 42L).orderBy("url").collect()
+    val b = CorpusGen.generate(spark, 0.002, 42L).orderBy("url").collect()
+    assert(a.map(_.getString(0)).toSeq == b.map(_.getString(0)).toSeq)
+    assert(a.map(_.getString(3)).toSeq == b.map(_.getString(3)).toSeq)
+  }
+}
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("CC finds components of a known graph") {
+    // components: {1,2,3,4}, {10,11}, {20,21,22}, isolated handled by caller
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(2L) == 1L && comp(3L) == 1L && comp(4L) == 1L && comp(1L) == 1L)
+    assert(comp(11L) == 10L && comp(10L) == 10L)
+    assert(comp(21L) == 20L && comp(22L) == 20L && comp(20L) == 20L)
+  }
+
+  test("CC handles a long chain (log-round convergence)") {
+    val n = 200
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges).collect()
+    assert(comp.forall(_.getLong(1) == 0L))
+    assert(comp.length == n + 1)
+  }
+
+  test("CC is idempotent: rerunning on star edges returns the same labels") {
+    val edges = Seq((1L, 5L), (1L, 7L), (1L, 9L)).toDF("src", "dst")
+    val c1 = ConnectedComponents.run(edges)
+    val again = ConnectedComponents.run(
+      c1.select(col("component").as("src"), col("id").as("dst")))
+    assert(again.collect().forall(_.getLong(1) == 1L))
+  }
+}
+
+class DedupPipelineSpec extends SparkTestBase {
+
+  test("end-to-end dedup: recall >= 0.99 and high precision on golden clusters") {
+    val corpus = CorpusGen.generate(spark, sf = 0.01, seed = 42L).cache()
+    val pipe = new DedupPipeline(spark)
+    val out = pipe.run(corpus, fromHtml = true).cache()
+
+    val joined = out.join(corpus.select("url", "cluster_gold", "is_dup_member"), "url").cache()
+    assert(joined.count() == corpus.count(), "every url must be assigned a cluster")
+
+    // pair recall without materializing pairs: golden pairs vs detected-within-gold
+    def pairSum(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Long = {
+      val r = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("m"))
+        .select(sum(expr("m * (m - 1) / 2")).cast("long").as("s")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+    val dupDocs = joined.where(col("is_dup_member"))
+    val goldenPairs = pairSum(dupDocs.toDF(), Seq("cluster_gold"))
+    val detectedWithinGold = pairSum(dupDocs.toDF(), Seq("cluster_gold", "cluster_id"))
+    val recall = detectedWithinGold.toDouble / goldenPairs
+    info(s"golden pairs: $goldenPairs, detected-in-gold: $detectedWithinGold, recall: $recall")
+    assert(recall >= 0.99, s"dup-pair recall $recall below 0.99")
+
+    // precision proxy: a detected cluster must not span golden clusters
+    val crossGold = joined.groupBy("cluster_id")
+      .agg(countDistinct("cluster_gold").as("ngold"), count(lit(1)).as("sz"))
+      .where(col("ngold") > 1 && col("sz") > 1)
+      .count()
+    val totalClusters = joined.select("cluster_id").distinct().count()
+    info(s"clusters spanning golden boundaries: $crossGold of $totalClusters")
+    assert(crossGold <= math.max(1, totalClusters / 100),
+      s"$crossGold clusters merge distinct golden clusters")
+  }
+
+  test("pipeline output is deterministic across runs") {
+    val corpus = CorpusGen.generate(spark, sf = 0.003, seed = 7L).cache()
+    val pipe = new DedupPipeline(spark)
+    val a = pipe.run(corpus, fromHtml = true).orderBy("url").collect()
+    val b = pipe.run(corpus, fromHtml = true).orderBy("url").collect()
+    assert(a.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+
+  test("exact duplicates cluster together even with LSH disabled bands") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      ("u2", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      ("u3", "totally different words that do not match anything else here at all now"))
+      .toDF("url", "text")
+    val pipe = new DedupPipeline(spark)
+    val out = pipe.run(rows, fromHtml = false).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("u1") == out("u2"))
+    assert(out("u3") != out("u1"))
+  }
+}
+
+class ResumeSpec extends SparkTestBase {
+  test("ledger resume: stage outputs are reused and final output identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val corpus = CorpusGen.generate(spark, sf = 0.002, seed = 42L).cache()
+    val cfg = graft.kernel.GraftConfig.default
+    def mkPipe() = new DedupPipeline(spark, cfg,
+      ledger = Some(new graft.ledger.Ledger(spark, tmp, cfg.configHash)))
+
+    val first = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
+    // simulate a mid-run kill: later stages lost, early stages checkpointed
+    def rmStage(prefix: String): Unit =
+      new java.io.File(tmp).listFiles().filter(_.getName.startsWith(prefix))
+        .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+    rmStage("components")
+    rmStage("verified")
+
+    val sigDirsBefore = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("signatures")).map(f => f.lastModified()).toSeq
+    val second = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
+    val sigDirsAfter = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("signatures")).map(f => f.lastModified()).toSeq
+
+    assert(sigDirsBefore == sigDirsAfter, "signatures stage must be reused, not recomputed")
+    assert(first.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      second.map(r => (r.getString(0), r.getLong(2))).toSeq,
+      "resumed run must produce identical clusters")
+
+    val l = new graft.ledger.Ledger(spark, tmp, cfg.configHash)
+    assert(l.metrics().exists(_.count() > 0), "metrics table must have stage rows")
+  }
+}
