@@ -67,6 +67,35 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "rank")),
     "q_cosine_dups" -> ((s, dir) => AnnOps.cosineDupPairs(emb(s, dir), threshold = 0.4)
       .select("vec_id_a", "vec_id_b")),
+    // ---- substring / reporting / multimodal ----
+    "q_substring" -> ((s, dir) => graft.substring.SubstringStage.run(
+      s, docs(s, dir).select("doc_id", "text"), window = 8, stride = 4,
+      maxAnchorGroup = 200, minRun = 8)),
+    "q_linkhunt" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = DedupOps.minhashPairs(s, d)
+      val sizes = d.select(col("doc_id").as("doc_id_b"),
+        TextOps.tokenCount(col("text")).as("size_b"))
+      ReportOps.linkHuntScores(pairs.join(sizes, "doc_id_b"))
+    }),
+    "q_unique_ngrams" -> ((s, dir) => ReportOps.uniqueNgrams(
+      s, docs(s, dir), targetIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .select("ngram", "target_df")),
+    "q_cross_compare" -> ((s, dir) => ReportOps.crossCompare(
+      s, docs(s, dir), ids = (0L until 10L))),
+    "q_media_features" -> ((s, _) => MultimodalOps.extractFeatures(
+      MultimodalOps.syntheticMedia(s, 500)).toDF()
+      .select("media_id", "kind", "byte_len", "phash")),
+    "q_media_frames" -> ((s, _) => MultimodalOps.sampleFrames(
+      MultimodalOps.syntheticMedia(s, 500)).toDF()),
+    "q_phash_dups" -> ((s, _) => {
+      import s.implicits._
+      // media corpus with injected duplicates (ids 10000+i duplicate i)
+      val base = MultimodalOps.syntheticMedia(s, 500)
+      val dups = base.filter(_.media_id < 20).map(m => m.copy(media_id = m.media_id + 10000))
+      MultimodalOps.phashDupPairs(
+        MultimodalOps.extractFeatures(base.union(dups)).toDF(), maxHamming = 4)
+    }),
     // ---- relational analogs (A1-A3/V4/F1-F7) ----
     "q_agg_rollup" -> ((s, dir) => RelOps.aggRollup(s, dir)
       .select(col("l_returnflag"), col("l_linestatus"),

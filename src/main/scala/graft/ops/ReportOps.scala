@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.{GraftConfig, KGramShingler, MinHasher, TextNorm}
+import graft.hash.Murmur3
+
+/** Reporting / characteristic-content analogs of the reference's link-hunt,
+  * unique-block and cross-compare layers (SURVEY.md §2.8-2.9).
+  */
+object ReportOps {
+
+  /** F5 analog — link-hunt compound scoring over verified match pairs:
+    * score = (0.1·position_weight + 0.2·min(size,cap)/cap + 0.7·match_score)
+    * divided by a polynomial frequency penalty past 3 matched clusters
+    * (≅ MatchingResult.getLinkHuntResults,
+    * /root/reference/mcrit/storage/MatchingResult.py:413-482; penalty
+    * max(1, floor(0.0546n² + 0.370n − 0.171))).
+    *
+    * Input pairs: (doc_id_a, doc_id_b, score[0..100], size_b tokens).
+    */
+  def linkHuntScores(pairs: DataFrame, sizeCap: Int = 300): DataFrame = {
+    val nMatches = pairs.groupBy("doc_id_a")
+      .agg(countDistinct("doc_id_b").as("n_matched"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_a").orderBy(col("score").desc, col("doc_id_b").asc)
+    pairs.join(nMatches, "doc_id_a")
+      .withColumn("position", row_number().over(w))
+      .withColumn("position_weight", lit(1.0) / col("position"))
+      .withColumn("size_weight",
+        least(col("size_b"), lit(sizeCap)).cast("double") / lit(sizeCap))
+      .withColumn("raw",
+        lit(0.1) * col("position_weight") + lit(0.2) * col("size_weight") +
+          lit(0.7) * (col("score") / lit(100.0)))
+      .withColumn("penalty",
+        when(col("n_matched") <= 3, lit(1.0))
+          .otherwise(greatest(lit(1.0),
+            floor(lit(0.0546) * col("n_matched") * col("n_matched") +
+              lit(0.370) * col("n_matched") - lit(0.171)).cast("double"))))
+      .withColumn("link_score", col("raw") / col("penalty"))
+      .select("doc_id_a", "doc_id_b", "score", "position", "n_matched", "link_score")
+  }
+
+  private def ngramPostings(docs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val bcCfg = docs.sparkSession.sparkContext.broadcast(cfg)
+    val shUdf = udf((text: String) => {
+      val kg = new KGramShingler(bcCfg.value, 1)
+      kg.generateSequences(TextNorm.tokenize(if (text == null) "" else text))
+        .distinct.map(s => Murmur3.hashU(s, 0)).toArray
+    })
+    docs.select(col("doc_id"), explode(shUdf(col("text"))).as("ngram"))
+  }
+
+  /** C5 analog — characteristic n-grams: k-grams present in ≥1 target doc
+    * and NO non-target doc (groupBy + conditional counts; the "unique
+    * block" isolation that feeds rule generation).
+    */
+  def uniqueNgrams(spark: SparkSession, docs: DataFrame, targetIds: Seq[Long],
+      cfg: GraftConfig = GraftConfig.default): DataFrame = {
+    val postings = ngramPostings(docs, cfg)
+      .withColumn("is_target", col("doc_id").isInCollection(targetIds))
+    postings.groupBy("ngram")
+      .agg(
+        sum(when(col("is_target"), 1).otherwise(0)).as("target_df"),
+        sum(when(!col("is_target"), 1).otherwise(0)).as("other_df"),
+        collect_set(when(col("is_target"), col("doc_id"))).as("target_docs"))
+      .where(col("target_df") >= 1 && col("other_df") === 0)
+      .select(col("ngram"), col("target_df").cast("long").as("target_df"),
+        col("target_docs"))
+  }
+
+  /** C4 analog — greedy multi-set cover over characteristic n-grams: pick
+    * n-grams until every target doc is covered `minCover` times (driver-side
+    * greedy over the collected candidate aggregate, exactly like the
+    * reference's YARA-rule block selection, /root/reference/mcrit/Worker.py:330-390).
+    */
+  def greedyCover(spark: SparkSession, docs: DataFrame, targetIds: Seq[Long],
+      minCover: Int = 3, maxCandidates: Int = 20000,
+      cfg: GraftConfig = GraftConfig.default): Seq[(Long, Seq[Long])] = {
+    val candidates = uniqueNgrams(spark, docs, targetIds, cfg)
+      .orderBy(desc("target_df"), asc("ngram"))
+      .limit(maxCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).sorted))
+    val need = scala.collection.mutable.Map(targetIds.map(_ -> minCover): _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var progress = true
+    while (progress && need.valuesIterator.exists(_ > 0)) {
+      progress = false
+      // deterministic: best (uncovered-gain, then smallest ngram)
+      val best = candidates.iterator
+        .filterNot(c => picked.exists(_._1 == c._1))
+        .map(c => (c, c._2.count(d => need.getOrElse(d, 0) > 0)))
+        .filter(_._2 > 0)
+        .reduceOption((a, b) =>
+          if (a._2 > b._2 || (a._2 == b._2 && a._1._1 < b._1._1)) a else b)
+      best.foreach { case (c, _) =>
+        picked += c
+        c._2.foreach(d => need.updateWith(d)(_.map(v => math.max(0, v - 1))))
+        progress = true
+      }
+    }
+    picked.toSeq
+  }
+
+  /** C3 analog — cross-compare matrix: all-pairs signature scores within a
+    * doc set (n is small by contract; the quadratic join is intra-set only).
+    */
+  def crossCompare(spark: SparkSession, docs: DataFrame, ids: Seq[Long],
+      cfg: GraftConfig = GraftConfig.default): DataFrame = {
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val sigUdf = udf((text: String) => {
+      val c = bcCfg.value
+      new MinHasher(c).signatureBytes(TextNorm.tokenize(if (text == null) "" else text))
+    })
+    val bits = cfg.signatureBits
+    val scoreUdf = udf((a: Array[Byte], b: Array[Byte]) => MinHasher.score(a, b, bits))
+    val subset = docs.where(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+    subset.as("x").join(subset.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
+        scoreUdf(col("x.sig"), col("y.sig")).as("score"))
+  }
+
+  /** C2 analog — complete-linkage agglomerative clustering + dendrogram
+    * leaf order over a small all-pairs distance matrix (driver-side util,
+    * ≅ MatcherCross._compute_serial_matrix; n ≤ thousands by contract).
+    * Input: symmetric distances as ((a, b) -> dist). Returns ordered ids.
+    */
+  def seriation(ids: Seq[Long], dist: (Long, Long) => Double): Seq[Long] = {
+    if (ids.size <= 1) return ids
+    final case class Node(members: Vector[Long])
+    var clusters = ids.sorted.map(i => Node(Vector(i))).toVector
+    def linkage(a: Node, b: Node): Double =
+      a.members.iterator.flatMap(x => b.members.iterator.map(y => dist(x, y))).max
+    while (clusters.size > 1) {
+      var best = (0, 1)
+      var bestD = Double.MaxValue
+      for (i <- clusters.indices; j <- (i + 1) until clusters.size) {
+        val d = linkage(clusters(i), clusters(j))
+        if (d < bestD) { bestD = d; best = (i, j) }
+      }
+      val (i, j) = best
+      val merged = Node(clusters(i).members ++ clusters(j).members)
+      clusters = (clusters.zipWithIndex.collect {
+        case (c, k) if k != i && k != j => c
+      }) :+ merged
+    }
+    clusters.head.members
+  }
+}

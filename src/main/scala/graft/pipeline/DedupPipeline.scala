@@ -56,6 +56,29 @@ final case class DocSig(
     sig: Array[Byte],
     simhash: Long)
 
+object DocSig {
+  /** The per-doc feature computation — shared by the batch pipeline and the
+    * streaming incremental indexer. Pure function of (cfg, url, text).
+    */
+  def compute(c: GraftConfig, hasher: MinHasher, kgram: KGramShingler)(
+      url: String, text: String): DocSig = {
+    val tok = TextNorm.tokenize(if (text == null) "" else text)
+    val n = tok.numTokens
+    val hashable = n > c.minTokens
+    val docId = SimHash.hash64("doc:" + url)
+    val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
+    val hasExact = n >= c.exactHashMinTokens
+    val exactHash = if (hasExact) SimHash.hash64(normalized) else 0L
+    if (hashable) {
+      val sig = hasher.signatureBytes(tok)
+      val sh = SimHash.of(kgram.generateSequences(tok))
+      DocSig(docId, url, n, hashable = true, exactHash, hasExact, sig, sh)
+    } else {
+      DocSig(docId, url, n, hashable = false, exactHash, hasExact, Array.emptyByteArray, 0L)
+    }
+  }
+}
+
 final class DedupPipeline(
     spark: SparkSession,
     cfg: GraftConfig = GraftConfig.default,
@@ -82,24 +105,9 @@ final class DedupPipeline(
     val bcCfg = spark.sparkContext.broadcast(cfg)
     docs.select("url", "text").as[(String, String)].mapPartitions { it =>
       val c = bcCfg.value
-      val hasher = new MinHasher(c)
-      val kgram = new KGramShingler(c, c.shinglerWeights.getOrElse("KGramShingler", 3))
-      it.map { case (url, text) =>
-        val tok = TextNorm.tokenize(if (text == null) "" else text)
-        val n = tok.numTokens
-        val hashable = n > c.minTokens
-        val docId = SimHash.hash64("doc:" + url)
-        val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
-        val hasExact = n >= c.exactHashMinTokens
-        val exactHash = if (hasExact) SimHash.hash64(normalized) else 0L
-        if (hashable) {
-          val sig = hasher.signatureBytes(tok)
-          val sh = SimHash.of(kgram.generateSequences(tok))
-          DocSig(docId, url, n, hashable = true, exactHash, hasExact, sig, sh)
-        } else {
-          DocSig(docId, url, n, hashable = false, exactHash, hasExact, Array.emptyByteArray, 0L)
-        }
-      }
+      val f = DocSig.compute(c, new MinHasher(c),
+        new KGramShingler(c, c.shinglerWeights.getOrElse("KGramShingler", 3))) _
+      it.map { case (url, text) => f(url, text) }
     }
   }
 

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops._
+
+class SearchQuerySpec extends SparkTestBase {
+  import spark.implicits._
+  import SearchQuery._
+
+  test("parser: field ops, bools, parens, quoted, implicit AND") {
+    assert(parse("lang:en") == Cond("lang", "=", "en"))
+    assert(parse("n:>5") == Cond("n", ">", "5"))
+    assert(parse("n:<=5") == Cond("n", "<=", "5"))
+    assert(parse("f:!?foo") == Cond("f", "!?", "foo"))
+    assert(parse("a:1 AND b:2") == And(List(Cond("a", "=", "1"), Cond("b", "=", "2"))))
+    assert(parse("a:1 b:2") == And(List(Cond("a", "=", "1"), Cond("b", "=", "2"))))
+    assert(parse("a:1 OR (b:2 AND NOT c:3)") ==
+      Or(List(Cond("a", "=", "1"), And(List(Cond("b", "=", "2"), Not(Cond("c", "=", "3")))))))
+    assert(parse("\"hello world\"") == Term("hello world"))
+  }
+
+  test("predicate filters a DataFrame like the equivalent SQL") {
+    val df = Seq((1L, "alpha news", "en", 100L), (2L, "beta story", "de", 300L),
+      (3L, "gamma alpha", "en", 500L)).toDF("doc_id", "text", "lang", "n_chars")
+    val got = df.where(SearchQuery.predicate("lang:en AND n_chars:>200",
+      Seq("text"), Set("n_chars"))).select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+    val bare = df.where(SearchQuery.predicate("alpha", Seq("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bare == Seq(1L, 3L))
+  }
+}
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token count column matches manual counts incl. empty") {
+    val df = Seq("a b  c", "", "  ", "single").toDF("text")
+    val got = df.select(TextOps.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("langid detects seeded languages deterministically") {
+    assert(LangId.detect("the quick brown fox jumps over the lazy dog every day") == "en")
+    assert(LangId.detect("der schnelle braune fuchs springt ueber den faulen hund") == "de")
+    assert(LangId.detect("le renard brun rapide saute par dessus le chien paresseux") == "fr")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect(null) == "und")
+  }
+}
+
+class AnnOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new java.util.Random(seed)
+    Array.fill(8)(r.nextFloat() - 0.5f)
+  }
+
+  test("brute-force topk: identical vector is rank-1 neighbor") {
+    val base = vec(1)
+    val rows = Seq((1L, base), (2L, base.map(x => x * 2.0f)), (3L, vec(3)), (4L, vec(4)))
+      .toDF("vec_id", "embedding")
+    val out = AnnOps.bruteForceTopK(rows.where(col("vec_id") === 1), rows, k = 2).collect()
+    // vec 2 is colinear with vec 1 → cosine ~1 → rank 1
+    assert(out.find(_.getInt(2) == 1).get.getLong(1) == 2L)
+  }
+
+  test("lsh topk: bucketed neighbors are scored and ranked") {
+    val rows = (1 to 50).map(i => (i.toLong, vec(i / 4))).toDF("vec_id", "embedding")
+    val out = AnnOps.lshTopK(rows, k = 3, planes = 4, dim = 8)
+    assert(out.count() > 0)
+    assert(out.where(col("rank") > 3).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  test("media pipeline: synthesize → features → frames, deterministic") {
+    val media = MultimodalOps.syntheticMedia(spark, 200, seed = 7L).cache()
+    val feats = MultimodalOps.extractFeatures(media).cache()
+    assert(feats.count() == 200)
+    val f = feats.toDF().orderBy("media_id").collect()
+    val f2 = MultimodalOps.extractFeatures(media).toDF().orderBy("media_id").collect()
+    assert(f.map(_.getLong(5)).toSeq == f2.map(_.getLong(5)).toSeq, "phash deterministic")
+    // histogram masses sum to the decoded sample count
+    assert(f.forall(r => r.getSeq[Long](4).sum > 0))
+
+    val frames = MultimodalOps.sampleFrames(media).cache()
+    assert(frames.count() > 0)
+    assert(frames.toDF().where(col("frame_idx") < 0).count() == 0)
+    // images produce no frames
+    val imgIds = media.filter(_.kind == "image").toDF().select("media_id")
+    assert(frames.toDF().join(imgIds, "media_id").count() == 0)
+  }
+
+  test("phash dup pairs: identical payload ⇒ hamming 0 pair") {
+    import spark.implicits._
+    val m = MultimodalOps.syntheticMedia(spark, 20, seed = 9L).collect()
+    val dup = m(0).copy(media_id = 999L)
+    val all = spark.createDataset(m :+ dup)(org.apache.spark.sql.Encoders.product[MultimodalOps.MediaRow])
+    val feats = MultimodalOps.extractFeatures(all).toDF()
+    val pairs = MultimodalOps.phashDupPairs(feats, maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == m(0).media_id && r.getLong(1) == 999L))
+  }
+}
+
+class ReportOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "unique alpha words only here " + (1 to 30).map(i => s"ta$i").mkString(" ")),
+    (2L, "unique alpha words only here " + (1 to 30).map(i => s"tb$i").mkString(" ")),
+    (3L, "other content entirely " + (1 to 30).map(i => s"oc$i").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("unique ngrams: only grams absent from non-targets survive") {
+    val u = ReportOps.uniqueNgrams(spark, docs, Seq(1L, 2L)).cache()
+    assert(u.count() > 0)
+    // shared prefix "unique alpha words only here" grams appear in both
+    // targets but no non-target → allowed; nothing from doc 3 may leak
+    val postings = u.select(explode(col("target_docs")).as("d")).distinct()
+      .as[Long].collect().toSet
+    assert(postings.subsetOf(Set(1L, 2L)))
+  }
+
+  test("greedy cover picks ngrams until targets covered") {
+    val picked = ReportOps.greedyCover(spark, docs, Seq(1L, 2L), minCover = 2)
+    assert(picked.nonEmpty)
+    val coverage = picked.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    assert(coverage.getOrElse(1L, 0) >= 2 && coverage.getOrElse(2L, 0) >= 2)
+  }
+
+  test("cross compare: self-similar docs score higher than unrelated") {
+    val long = Seq(
+      (10L, (1 to 60).map(i => s"xx$i").mkString(" ")),
+      (11L, (1 to 60).map(i => if (i == 5) "CHANGED" else s"xx$i").mkString(" ")),
+      (12L, (1 to 60).map(i => s"yy$i").mkString(" "))).toDF("doc_id", "text")
+    val m = ReportOps.crossCompare(spark, long, Seq(10L, 11L, 12L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((10L, 11L)) > m((10L, 12L)))
+    assert(m((10L, 11L)) == m((11L, 10L)))
+  }
+
+  test("seriation orders similar items adjacently") {
+    // distances: 1-2 close, 3-4 close, groups far apart
+    val d = Map((1L, 2L) -> 1.0, (3L, 4L) -> 1.0).withDefaultValue(10.0)
+    def dist(a: Long, b: Long) = if (a == b) 0.0 else d((math.min(a, b), math.max(a, b)))
+    val order = ReportOps.seriation(Seq(1L, 3L, 2L, 4L), dist)
+    val pos = order.zipWithIndex.toMap
+    assert(math.abs(pos(1L) - pos(2L)) == 1)
+    assert(math.abs(pos(3L) - pos(4L)) == 1)
+  }
+
+  test("link hunt: frequency penalty suppresses promiscuous matchers") {
+    val pairs = (
+      Seq((1L, 2L, 90.0, 100)) ++ (1 to 10).map(i => (5L, 100L + i, 90.0, 100))
+    ).toDF("doc_id_a", "doc_id_b", "score", "size_b")
+    val out = ReportOps.linkHuntScores(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out((1L, 2L)) > out((5L, 101L)), "10-way matcher must be penalized")
+  }
+}
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming signature stage matches the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val docsStream = mem.toDF().toDF("url", "text")
+    val sigStream = graft.streaming.StreamingIndex.bandPostingsStream(spark, docsStream)
+    val q = sigStream.writeStream.format("memory").queryName("bands_stream")
+      .outputMode("append").start()
+    val text = (1 to 40).map(i => s"tok$i word$i").mkString(" ")
+    mem.addData(("u1", text), ("u2", "short"))
+    q.processAllAvailable()
+    val got = spark.sql("select * from bands_stream").collect()
+    q.stop()
+
+    // batch equivalent
+    val batch = new graft.pipeline.DedupPipeline(spark)
+    val sigs = batch.signatureStage(Seq(("u1", text)).toDF("url", "text")).toDF()
+    val batchBands = batch.bandStage(sigs.where(col("hashable"))).collect()
+    assert(got.length == batchBands.length) // u2 is unhashable → only u1 banded
+    assert(got.map(r => (r.getInt(1), r.getLong(2))).toSet ==
+      batchBands.map(r => (r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("event-time window aggregation with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.StreamingIndex.eventWindowStream(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("ev_win")
+      .outputMode("complete").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(10, 5), "click", 1.0), (ts(10, 55), "click", 3.0), (ts(11, 5), "click", 2.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from ev_win order by w_start").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 3.0)
+    assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 2.0)
+  }
+}
