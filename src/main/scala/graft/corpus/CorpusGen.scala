@@ -46,7 +46,21 @@ object CorpusGen {
     val clustered = clusterIds.flatMap { c => clusterDocs(seed, c) }
     val singletonIds = spark.range(0, numSingletons, 1, parallelism)
     val singles = singletonIds.map { s => singletonDoc(seed, s, numClusters) }
-    clustered.union(singles).toDF()
+    // two mega-clusters of byte-identical boilerplate pages (the FIXTURES.md
+    // skew case: a verbatim-dup group far larger than any band-group cap —
+    // must flow through the exact channel, never the quadratic LSH path)
+    val megaSize = math.max(50, (sf * 2000).toInt)
+    val mega = spark.range(0, 2L * megaSize, 1, parallelism).map { i =>
+      val m = i / megaSize // mega cluster 0 or 1
+      val idx = i % megaSize
+      val rng = new java.util.Random(seed * 555557L + m)
+      val text = render(genBaseDoc(rng, 2000000L + m))
+      val clusterId = 2000000L + numClusters + m
+      Doc(s"https://mega-$m.example.com/copy-$idx",
+        new java.sql.Timestamp(1700000000000L + i * 1000L),
+        toHtml(text, s"mega-$m").getBytes("UTF-8"), text, "en", clusterId, true)
+    }
+    clustered.union(singles).union(mega).toDF()
   }
 
   /** Cluster size: 60% size 2-4, 30% size 5-8, 10% size 9-24 (skewed tail). */

@@ -131,12 +131,11 @@ object MultimodalOps {
     val chunksUdf = udf((v: Long) => graft.hash.SimHash.chunks16(v))
     val banded = features.select(col("media_id"), col("phash"),
         posexplode(chunksUdf(col("phash"))).as(Seq("band_id", "chunk")))
-    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.chunk") === col("y.chunk") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_id_a"), col("y.media_id").as("media_id_b"),
-        hammingUdf(col("x.phash"), col("y.phash")).as("hamming"))
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -113,13 +113,11 @@ object ReportOps {
       val c = bcCfg.value
       new MinHasher(c).signatureBytes(TextNorm.tokenize(if (text == null) "" else text))
     })
-    val bits = cfg.signatureBits
-    val scoreUdf = udf((a: Array[Byte], b: Array[Byte]) => MinHasher.score(a, b, bits))
     val subset = docs.where(col("doc_id").isInCollection(ids))
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
     subset.as("x").join(subset.as("y"), col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
-        scoreUdf(col("x.sig"), col("y.sig")).as("score"))
+        graft.expr.SignatureScore.sigScore(col("x.sig"), col("y.sig")).as("score"))
   }
 
   /** C2 analog — complete-linkage agglomerative clustering + dendrogram

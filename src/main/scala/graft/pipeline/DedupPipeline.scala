@@ -206,18 +206,17 @@ final class DedupPipeline(
     * MinHasher.py:108-124). Broadcast-vs-SMJ picked by Catalyst/AQE stats.
     */
   def verifyStage(candidates: DataFrame, sigs: DataFrame): DataFrame = {
-    // local capture: keep the closure free of `this` (ledger isn't serializable)
-    val bits = cfg.signatureBits
-    val scoreUdf = udf((a: Array[Byte], b: Array[Byte]) => MinHasher.score(a, b, bits))
     val sigCols = sigs.select(col("doc_id"), col("sig"), col("simhash"))
     val joined = candidates
       .join(sigCols.withColumnRenamed("doc_id", "a")
         .withColumnRenamed("sig", "sig_a").withColumnRenamed("simhash", "sh_a"), "a")
       .join(sigCols.withColumnRenamed("doc_id", "b")
         .withColumnRenamed("sig", "sig_b").withColumnRenamed("simhash", "sh_b"), "b")
-    val hammingUdf = udf((x: Long, y: Long) => SimHash.hammingDistance(x, y))
-    val scored = joined.withColumn("score", scoreUdf(col("sig_a"), col("sig_b")))
-      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
+    // native expressions → the scoring stays inside whole-stage codegen
+    // (a Scala UDF here would fence the span around the verify join)
+    val scored = joined
+      .withColumn("score", graft.expr.SignatureScore.sigScore(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
     // a pair survives via the minhash threshold OR the simhash hamming ball
     val minhashOk = col("score") > lit(cfg.matchingThreshold)
     val simhashOk =

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.SignatureScore
+
+/** Physical-plan hygiene: the properties that matter at 100 TB — pushdown,
+  * codegen spans, broadcast choice — asserted on the actual plans.
+  */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("keyset pagination predicate pushes to the parquet scan") {
+    val plan = graft.ops.RelOps.keysetPage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThan(o_totalprice") || plan.contains("Or(GreaterThan")),
+      s"keyset filter must reach the scan:\n$plan")
+  }
+
+  test("column pruning: token count scan reads only doc_id and text") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), graft.ops.TextOps.tokenCount(col("text")).as("n"))
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
+    assert(scan.contains(readSchema), s"expected pruned ReadSchema, got:\n$scan")
+  }
+
+  test("signature score expression participates in whole-stage codegen") {
+    val df = spark.range(8)
+      .select(encode(concat(lit("x"), col("id")), "UTF-8").as("a"),
+        encode(concat(lit("y"), col("id")), "UTF-8").as("b"))
+      .select(SignatureScore.sigScore(col("a"), col("b")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a whole-stage-codegen span
+    assert(plan.contains("*(1) Project [sig_score"), s"no codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalUDF") && !plan.contains("ScalaUDF"),
+      "score must not be a UDF")
+    // "x0" vs "y0": second byte equal, first differs → 50.0
+    assert(df.collect().forall(_.getDouble(0) == 50.0))
+  }
+
+  test("verify stage plan: no UDF fence around the candidate joins") {
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val sigs = pipe.signatureStage(
+      Seq(("u1", (1 to 40).map("w" + _).mkString(" ")),
+        ("u2", (1 to 40).map("w" + _).mkString(" "))).toDF("url", "text"))
+      .toDF().where(col("hashable"))
+    val cand = Seq((1L, 2L, 2L)).toDF("a", "b", "n_bands")
+    val plan = pipe.verifyStage(cand,
+      sigs.withColumn("doc_id", when(col("url") === "u1", 1L).otherwise(2L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sig_score"), s"native expression missing:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in verify hot path:\n$plan")
+  }
+
+  test("small dimension joins broadcast (Catalyst stats/AQE)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nation = spark.read.parquet(s"$sf/customer.parquet")
+    val j = orders.join(nation, orders("o_custkey") === nation("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"small dim should broadcast:\n$plan")
+  }
+}
