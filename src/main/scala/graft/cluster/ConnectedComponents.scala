@@ -48,7 +48,9 @@ object ConnectedComponents {
     var iter = 0
     var prev = checksum(edges)
     while (!converged && iter < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      // lazy checkpoint: the checksum action below materializes it — one
+      // Spark job per iteration instead of two
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
@@ -74,11 +76,12 @@ object ConnectedComponents {
     val m = sym.groupBy("u")
       .agg(min("v").as("minv"))
       .select(col("u"), least(col("u"), col("minv")).as("m"))
+    // no distinct here: smallStar dedupes the round's output once — saves a
+    // full shuffle per iteration
     sym.join(m, "u")
       .where(col("v") > col("u"))
       .select(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"))
       .where(col("lo") =!= col("hi"))
-      .distinct()
   }
 
   /** small-star: connect every smaller neighbor of u (and u itself) to

@@ -18,13 +18,16 @@ object Murmur3 {
   private final val C2 = 0x1b873593
 
   /** Signed 32-bit murmur3_x86_32 over raw bytes. */
-  def hashBytes(data: Array[Byte], seed: Int): Int = {
-    val len = data.length
+  def hashBytes(data: Array[Byte], seed: Int): Int =
+    hashBytes(data, 0, data.length, seed)
+
+  /** Slice variant — lets hot paths hash a reusable scratch buffer. */
+  def hashBytes(data: Array[Byte], offset: Int, len: Int, seed: Int): Int = {
     val nBlocks = len >>> 2
     var h1 = seed
     var i = 0
     while (i < nBlocks) {
-      val base = i << 2
+      val base = offset + (i << 2)
       var k1 = (data(base) & 0xff) |
         ((data(base + 1) & 0xff) << 8) |
         ((data(base + 2) & 0xff) << 16) |
@@ -39,7 +42,7 @@ object Murmur3 {
     }
     // tail
     var k1 = 0
-    val tailStart = nBlocks << 2
+    val tailStart = offset + (nBlocks << 2)
     val rem = len & 3
     if (rem == 3) k1 ^= (data(tailStart + 2) & 0xff) << 16
     if (rem >= 2) k1 ^= (data(tailStart + 1) & 0xff) << 8

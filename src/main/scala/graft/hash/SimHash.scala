@@ -32,6 +32,37 @@ object SimHash {
     out
   }
 
+  /** SimHash from pre-hashed 32-bit shingle values: each is avalanched to
+    * 64 bits with the splitmix64 finalizer (saves re-hashing the shingle
+    * strings when a MinHash pass already produced their mmh3 values).
+    */
+  def ofHashes(hs: Array[Long]): Long = {
+    if (hs.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = mix64(hs(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** splitmix64 finalizer (public domain constant mix). */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   def hash64(s: String): Long = {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val lo = Murmur3.hashBytes(bytes, 0).toLong & 0xffffffffL

@@ -28,6 +28,29 @@ final class MinHasher(val cfg: GraftConfig) extends Serializable {
     if (cfg.signatureBits < 32) (v & ((1L << cfg.signatureBits) - 1)).toInt
     else v.toInt
 
+  /** Segmented signature from pre-hashed per-shingler shingle sets —
+    * lets callers that also need the raw shingles (SimHash channel) hash
+    * them exactly once. Keys must cover every name in cfg.segments.
+    */
+  def signatureFromShingles(outputs: Map[String, Array[Long]]): Array[Int] = {
+    val sig = new Array[Int](cfg.signatureLength)
+    var i = 0
+    while (i < cfg.signatureLength) {
+      val seed = cfg.minhashXorSeeds(i)
+      val shingles = outputs(cfg.segments(i))
+      var min = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val x = shingles(j) ^ seed
+        if (x < min) min = x
+        j += 1
+      }
+      sig(i) = reduce(min)
+      i += 1
+    }
+    sig
+  }
+
   /** ≅ _calculateMinHashSegmented (MinHasher.py:186-211). */
   private def segmented(doc: TextNorm.Tokenized): Array[Int] = {
     val outputs: Map[String, Array[Long]] =

@@ -42,6 +42,65 @@ final class KGramShingler(cfg: GraftConfig, weight: Int)
     extends Shingler("KGramShingler", weight, cfg) {
   private val k = cfg.kGram
 
+  /** Low-garbage fast path: mmh3(seed 0) of every k-gram shingle, emitting
+    * the exact same hashes as `generateSequences(...).map(mmh3(_, 0))` —
+    * ";".join(sorted(gram)) is built into a reusable byte scratch from
+    * per-token cached UTF-8, with an insertion sort over String compareTo
+    * (same ordering as sorting the strings). Eliminates the per-window
+    * array/String/byte[] churn that dominates GC at high core counts.
+    * Returns the sentinel [0xFFFFFFFF] for empty docs.
+    */
+  def hashedShingles(doc: TextNorm.Tokenized): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](256)
+    val window = new Array[String](k)
+    var scratch = new Array[Byte](256)
+    val utf8 = new java.util.HashMap[String, Array[Byte]](128)
+    def bytesOf(s: String): Array[Byte] = {
+      var b = utf8.get(s)
+      if (b == null) { b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8); utf8.put(s, b) }
+      b
+    }
+    def hashSorted(toks: Array[String], from: Int, len: Int): Long = {
+      // insertion-sort `len` tokens into `window` (len <= k or whole short para)
+      val w = if (len <= window.length) window else new Array[String](len)
+      var i = 0
+      while (i < len) {
+        val t = toks(from + i)
+        var j = i - 1
+        while (j >= 0 && w(j).compareTo(t) > 0) { w(j + 1) = w(j); j -= 1 }
+        w(j + 1) = t
+        i += 1
+      }
+      var total = len - 1 // separators
+      i = 0
+      while (i < len) { total += bytesOf(w(i)).length; i += 1 }
+      if (scratch.length < total) scratch = new Array[Byte](math.max(total, scratch.length * 2))
+      var pos = 0
+      i = 0
+      while (i < len) {
+        if (i > 0) { scratch(pos) = ';'; pos += 1 }
+        val b = bytesOf(w(i))
+        System.arraycopy(b, 0, scratch, pos, b.length)
+        pos += b.length
+        i += 1
+      }
+      graft.hash.Murmur3.hashBytes(scratch, 0, pos, 0).toLong & 0xffffffffL
+    }
+    var p = 0
+    while (p < doc.paraTokens.length) {
+      val toks = doc.paraTokens(p)
+      if (toks.length > k) {
+        var i = 0
+        val last = toks.length - k
+        while (i <= last) { out += hashSorted(toks, i, k); i += 1 }
+      } else if (toks.nonEmpty) {
+        out += hashSorted(toks, 0, toks.length)
+      }
+      p += 1
+    }
+    if (out.isEmpty) Array(HashMax) else out.toArray
+  }
+
   def generateSequences(doc: TextNorm.Tokenized): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = 0

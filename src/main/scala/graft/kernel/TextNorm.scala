@@ -15,12 +15,10 @@ import java.nio.charset.StandardCharsets
   * tokens land on identical shingles.
   */
 object TextNorm {
-  private val ScriptStyle =
-    "(?is)<(script|style|head|noscript)\\b[^>]*>.*?</\\1\\s*>".r
-  private val Comment = "(?s)<!--.*?-->".r
-  private val BlockTag =
-    "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|section|article|header|footer|pre)\\b[^>]*>".r
-  private val AnyTag = "(?s)<[^>]*>".r
+  private val BlockTags = Set(
+    "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "tr", "table", "blockquote", "section", "article", "header", "footer", "pre")
+  private val SkipTags = Set("script", "style", "head", "noscript")
 
   /** html bytes → normalized text: tags stripped, entities decoded, lines
     * whitespace-collapsed, blank-line-separated paragraphs.
@@ -30,41 +28,114 @@ object TextNorm {
     extract(new String(html, StandardCharsets.UTF_8))
   }
 
+  private val BlankLines = java.util.regex.Pattern.compile("\n{2,}")
+  private val InnerWs = java.util.regex.Pattern.compile("\\s+")
+
   def extract(raw: String): String = {
     if (raw == null || raw.isEmpty) return ""
-    var s = Comment.replaceAllIn(raw, " ")
-    s = ScriptStyle.replaceAllIn(s, " ")
-    s = BlockTag.replaceAllIn(s, "\n\n")
-    s = AnyTag.replaceAllIn(s, " ")
-    s = unescapeEntities(s)
-    // collapse horizontal whitespace within lines, then blank-line paragraphs
-    val paras = s.split("\n{2,}").iterator
-      .map(_.replaceAll("[\\s&&[^\n]]+", " ").replace("\n", " ")
-        .replaceAll(" +", " ").trim)
+    val s = stripTags(raw)
+    // collapse whitespace within paragraphs, then blank-line paragraphs
+    val paras = BlankLines.split(unescapeEntities(s)).iterator
+      .map(p => InnerWs.matcher(p).replaceAll(" ").trim)
       .filter(_.nonEmpty)
     paras.mkString("\n\n")
+  }
+
+  /** Single-pass tag stripper (the regex form re-scanned the document four
+    * times and dominated the per-doc pipeline cost): comments and
+    * script/style/head/noscript blocks drop, block-level tags become
+    * paragraph breaks, other tags become spaces.
+    */
+  private def stripTags(raw: String): String = {
+    val n = raw.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c != '<') { sb.append(c); i += 1 }
+      else if (raw.regionMatches(i, "<!--", 0, 4)) {
+        val e = raw.indexOf("-->", i + 4)
+        sb.append(' ')
+        i = if (e < 0) n else e + 3
+      } else {
+        val close = i + 1 < n && raw.charAt(i + 1) == '/'
+        val nameStart = if (close) i + 2 else i + 1
+        var j = nameStart
+        while (j < n && (Character.isLetterOrDigit(raw.charAt(j)))) j += 1
+        val name = raw.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        val gt = raw.indexOf('>', j)
+        val tagEnd = if (gt < 0) n else gt + 1
+        if (!close && SkipTags.contains(name)) {
+          // skip to the matching close tag (case-insensitive)
+          val closeTag = "</" + name
+          var k = tagEnd
+          var found = -1
+          while (found < 0 && k < n) {
+            if (raw.regionMatches(true, k, closeTag, 0, closeTag.length)) found = k
+            else k += 1
+          }
+          sb.append(' ')
+          i = if (found < 0) n
+          else {
+            val g = raw.indexOf('>', found)
+            if (g < 0) n else g + 1
+          }
+        } else if (BlockTags.contains(name)) {
+          sb.append("\n\n")
+          i = tagEnd
+        } else {
+          sb.append(' ')
+          i = tagEnd
+        }
+      }
+    }
+    sb.toString
   }
 
   private def unescapeEntities(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
 
+  // precompiled: String.split/replaceAll compile their pattern per call,
+  // which dominates the signature stage at ~260 tokens/doc
+  private val ParaSplit = java.util.regex.Pattern.compile("\n\n")
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
   /** Paragraphs of a normalized text (the reference's "basic blocks"). */
   def paragraphs(text: String): Array[String] =
     if (text == null || text.isEmpty) Array.empty
-    else text.split("\n\n").filter(_.nonEmpty)
+    else ParaSplit.split(text).filter(_.nonEmpty)
 
   /** Raw whitespace tokens of one paragraph. */
   def rawTokens(para: String): Array[String] =
-    para.split("\\s+").filter(_.nonEmpty)
+    WsSplit.split(para).filter(_.nonEmpty)
 
-  /** Escaped token: lowercase, strip edge punctuation, digit runs → '0'. */
+  /** Escaped token: lowercase, strip edge punctuation, digit runs → '0'.
+    * Hand-rolled single pass (hot path: once per token per doc).
+    */
   def normalizeToken(tok: String): String = {
-    val lower = tok.toLowerCase(java.util.Locale.ROOT)
-    val stripped = lower.dropWhile(c => !c.isLetterOrDigit)
-      .reverse.dropWhile(c => !c.isLetterOrDigit).reverse
-    val base = if (stripped.isEmpty) lower else stripped
-    base.replaceAll("[0-9]+", "0")
+    val n = tok.length
+    // strip edges (non letter-or-digit)
+    var s = 0
+    var e = n - 1
+    while (s < n && !Character.isLetterOrDigit(tok.charAt(s))) s += 1
+    while (e >= s && !Character.isLetterOrDigit(tok.charAt(e))) e -= 1
+    val from = if (s > e) 0 else s
+    val to = if (s > e) n - 1 else e
+    val sb = new java.lang.StringBuilder(to - from + 1)
+    var i = from
+    var inDigits = false
+    while (i <= to) {
+      val c = Character.toLowerCase(tok.charAt(i))
+      if (c >= '0' && c <= '9') {
+        if (!inDigits) { sb.append('0'); inDigits = true }
+      } else {
+        sb.append(c)
+        inDigits = false
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** A tokenized document: per-paragraph normalized tokens + raw tokens. */

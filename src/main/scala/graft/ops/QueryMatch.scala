@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel._
+import graft.pipeline.{DedupPipeline, DocSig}
+import graft.hash.SimHash
+
+/** One-document-vs-corpus matching — the reference's flagship query path
+  * (`POST /query/binary` → MatcherQuery, SURVEY.md §3.2): sign the query
+  * text driver-side, probe the banded corpus with the query's 20 band
+  * hashes (point-lookup predicate pushed into the scan), verify candidates
+  * by signature score, return the top-k matches.
+  */
+object QueryMatch {
+
+  final case class QuerySig(sig: Array[Byte], bandHashes: Array[Long],
+      simhash: Long, exactHash: Long, nTokens: Int)
+
+  def signQuery(text: String, cfg: GraftConfig = GraftConfig.default): QuerySig = {
+    val mh = new MinHasher(cfg)
+    val kg = new KGramShingler(cfg, cfg.shinglerWeights.getOrElse("KGramShingler", 3))
+    val d = DocSig.compute(cfg, mh, kg)("query", text)
+    val bands = if (d.hashable) new Bands(cfg).bandHashes(mh.unpack(d.sig)) else Array.empty[Long]
+    QuerySig(d.sig, bands, d.simhash, d.exact_hash, d.n_tokens)
+  }
+
+  /** Top-k corpus matches for a query text. The corpus side is the standard
+    * signature table (from DedupPipeline.signatureStage); candidate pruning
+    * uses per-band equality on the 20 query band hashes — a tiny IN-list
+    * that pushes down — then exact verification, ≥2 band matches required.
+    */
+  def topMatches(spark: SparkSession, docs: DataFrame, queryText: String, k: Int = 10,
+      cfg: GraftConfig = GraftConfig.default,
+      requireBands: Int = 2): DataFrame = {
+    val pipe = new DedupPipeline(spark, cfg)
+    val q = signQuery(queryText, cfg)
+    if (q.bandHashes.isEmpty) return spark.emptyDataFrame
+
+    val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false))
+      .toDF().where(col("hashable")).cache()
+    val bands = pipe.bandStage(sigs)
+    // band_id must match positionally: band i of the corpus vs band i of the query
+    val queryBands = q.bandHashes.zipWithIndex
+      .map { case (h, i) => (i, h) }.toSeq
+    val qb = spark.createDataFrame(queryBands).toDF("band_id", "band_hash")
+    val candidates = bands.join(broadcast(qb), Seq("band_id", "band_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
+      .where(col("n_bands") >= requireBands)
+
+    val qSig = q.sig
+    val exact = q.exactHash
+    candidates.join(sigs, "doc_id")
+      .withColumn("score",
+        graft.expr.SignatureScore.sigScore(col("sig"), lit(qSig)))
+      .withColumn("exact_match", col("has_exact") && col("exact_hash") === lit(exact))
+      .where(col("score") > lit(cfg.matchingThreshold) || col("exact_match"))
+      .select(col("url"), col("doc_id"), col("score"), col("n_bands"), col("exact_match"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -25,10 +25,8 @@ object StreamingIndex {
     import spark.implicits._
     val bcCfg = spark.sparkContext.broadcast(cfg)
     docs.select("url", "text").as[(String, String)].mapPartitions { it =>
-      val c = bcCfg.value
-      val f = DocSig.compute(c, new MinHasher(c),
-        new KGramShingler(c, c.shinglerWeights.getOrElse("KGramShingler", 3))) _
-      it.map { case (url, text) => f(url, text) }
+      val k = new DocSig.Kernel(bcCfg.value)
+      it.map { case (url, text) => k.compute(url, text) }
     }
   }
 

@@ -150,6 +150,27 @@ class ShinglerSpec extends AnyFunSuite {
       Seq("f=1:0", "f=2:0", "f=3:0", "f=1:1"))
   }
 
+  test("hashedShingles fast path matches generateSequences + mmh3 exactly") {
+    val s = new KGramShingler(cfg, 1)
+    val r = new java.util.Random(11)
+    for (_ <- 0 until 50) {
+      val paras = (0 to r.nextInt(3)).map { _ =>
+        (0 until r.nextInt(30)).map(_ => s"w${('a' + r.nextInt(26)).toChar}${('a' + r.nextInt(26)).toChar}").mkString(" ")
+      }.mkString("\n\n")
+      val doc = TextNorm.tokenize(paras)
+      val slow = {
+        val seqs = s.generateSequences(doc)
+        if (seqs.isEmpty) Seq(0xffffffffL)
+        else seqs.map(x => graft.hash.Murmur3.hashU(x, 0))
+      }
+      assert(s.hashedShingles(doc).toSeq == slow, s"drift for: ${paras.take(60)}")
+    }
+    // unicode tokens exercise the String-order vs UTF-8-order distinction
+    val uni = TextNorm.tokenize("żółć abc ümlaut zz yy xx")
+    val slowU = s.generateSequences(uni).map(x => graft.hash.Murmur3.hashU(x, 0))
+    assert(s.hashedShingles(uni).toSeq == slowU)
+  }
+
   test("weighted process appends XOR-remapped copies") {
     val doc = TextNorm.tokenize("alpha beta gamma delta")
     val s = new KGramShingler(cfg, 3)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{QueryMatch, MaintenanceOps}
+
+class QueryMatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // alphabetic suffixes: digit runs are wildcarded by token normalization,
+  // so numeric suffixes would all collapse to one token
+  private def w(prefix: String, i: Int): String =
+    prefix + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar
+
+  private val corpusRows = Seq(
+    ("u1", (1 to 50).map(i => w("alpha", i)).mkString(" ")),
+    ("u2", (1 to 50).map(i => if (i % 20 == 0) "tweak" else w("alpha", i)).mkString(" ")),
+    ("u3", (1 to 50).map(i => w("beta", i)).mkString(" ")),
+    ("u4", "tiny"))
+
+  test("query match finds near-identical corpus doc, ranked first") {
+    val docs = corpusRows.toDF("url", "text")
+    val query = (1 to 50).map(i => w("alpha", i)).mkString(" ")
+    val out = QueryMatch.topMatches(spark, docs, query, k = 5).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getString(0) == "u1")
+    assert(out.head.getDouble(2) == 100.0)
+    assert(out.head.getBoolean(4), "identical text must flag exact_match")
+    // near-dup u2 matches too, unrelated u3 must not
+    assert(out.map(_.getString(0)).contains("u2"))
+    assert(!out.map(_.getString(0)).contains("u3"))
+  }
+
+  test("unhashable query returns empty") {
+    val docs = corpusRows.toDF("url", "text")
+    assert(QueryMatch.topMatches(spark, docs, "too short", k = 5).isEmpty)
+  }
+}
+
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("incremental sweep signs only unseen docs") {
+    val input = Seq(("u1", "a"), ("u2", "b"), ("u3", "c")).toDF("url", "text")
+    val signatures = Seq(("u1", 1L), ("u2", 2L)).toDF("url", "doc_id")
+    val fresh = MaintenanceOps.newDocs(input, signatures)
+    assert(fresh.select("url").as[String].collect().toSeq == Seq("u3"))
+  }
+
+  test("delete cascades through signature and band tables") {
+    val sigs = Seq((1L, "u1"), (2L, "u2")).toDF("doc_id", "url")
+    val bands = Seq((0, 10L, 1L), (0, 10L, 2L), (1, 11L, 1L))
+      .toDF("band_id", "band_hash", "doc_id")
+    val (s2, b2) = MaintenanceOps.deleteDocs(sigs, bands, Seq(1L))
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(b2.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("paragraph hashes: one row per non-empty paragraph, stable") {
+    val docs = Seq((1L, "para one here\n\npara two here\n\n\n\n"),
+      (2L, "para one here")).toDF("doc_id", "text")
+    val ph = MaintenanceOps.paragraphHashes(docs).collect()
+    assert(ph.count(_.getLong(0) == 1L) == 2)
+    // identical paragraph content hashes identically across docs
+    val p1 = ph.filter(r => r.getLong(0) == 1L && r.getInt(1) == 0).head.getString(2)
+    val p2 = ph.filter(r => r.getLong(0) == 2L).head.getString(2)
+    assert(p1 == p2)
+  }
+
+  test("pair diff: exact shared paragraphs and fuzzy near-matches") {
+    val docs = Seq(
+      (1L, "shared paragraph content here\n\nunique to one entirely"),
+      (2L, "shared paragraph content here\n\nunique to one entirelX"))
+      .toDF("doc_id", "text")
+    val d = MaintenanceOps.pairDiff(spark, docs, 1L, 2L).collect()
+    assert(d.exists(r => r.getBoolean(2) && r.getInt(3) == 0))
+    assert(d.exists(r => !r.getBoolean(2) && r.getInt(3) == 1), "1-char edit found by levenshtein")
+  }
+}
