@@ -332,7 +332,12 @@ final class DedupPipeline(
     val bandTable = runStage("bands", s"bands=${cfg.bands}", Seq("signatures")) {
       val mh = bandStage(repSigs)
       val all = if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
-      all.repartition(shuffleN, col("band_id"), col("band_hash"))
+      // co-locate by band key only when the table is being persisted for
+      // probes/resume (the Iceberg layout analog: partition by band_id,
+      // bucket(band_hash)); in the fused run candidateStage shuffles on the
+      // packed band key anyway — an extra exchange here would be pure waste
+      if (ledger.isDefined) all.repartition(shuffleN, col("band_id"), col("band_hash"))
+      else all
     }
 
     val candidates = runStage("candidates",
