@@ -69,8 +69,8 @@ object SparkEntry {
       .select("vec_id_a", "vec_id_b")),
     // ---- substring / reporting / multimodal ----
     "q_substring" -> ((s, dir) => graft.substring.SubstringStage.run(
-      s, docs(s, dir).select("doc_id", "text"), window = 8, stride = 4,
-      maxAnchorGroup = 200, minRun = 8)),
+      s, docs(s, dir).select("doc_id", "text"), window = 8, winnow = 4,
+      maxAnchorGroup = 200, minRun = 11)),
     "q_linkhunt" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = DedupOps.minhashPairs(s, d)

@@ -47,6 +47,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     var prev = checksum(edges)
+    var prevDf = edges
     while (!converged && iter < maxIterations) {
       // lazy checkpoint: the checksum action below materializes it — one
       // Spark job per iteration instead of two
@@ -54,9 +55,19 @@ object ConnectedComponents {
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
+      prevDf = edges
       edges = next
       iter += 1
     }
+    // the checksum fixpoint is probabilistic — back it with ONE exact
+    // compare at the claimed fixpoint (cheap: a single except at the end,
+    // not per round); silently-wrong labels are never acceptable
+    if (converged && edges.exceptAll(prevDf).limit(1).count() > 0)
+      throw new IllegalStateException(
+        "connected components: checksum fixpoint was a collision (edge sets differ)")
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIterations iterations")
 
     // at fixpoint every node points directly at its component minimum
     val asChild = edges.select(col("hi").as("id"), col("lo").as("component"))

@@ -70,9 +70,63 @@ object SimHash {
     lo | (hi << 32)
   }
 
+  /** Second independent 64-bit hash (mmh3 seeds 2,3) — paired with `hash64`
+    * this forms the 128-bit content identity used by the exact-dup channel:
+    * a single 64-bit hash at the 10^12-doc design scale expects ~27k
+    * birthday collisions, i.e. silent false exact merges.
+    */
+  def hash64b(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val lo = Murmur3.hashBytes(bytes, 2).toLong & 0xffffffffL
+    val hi = Murmur3.hashBytes(bytes, 3).toLong & 0xffffffffL
+    lo | (hi << 32)
+  }
+
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** 4×16-bit chunks for Hamming-ball candidate banding. */
   def chunks16(v: Long): Array[Int] =
     Array.tabulate(4)(i => ((v >>> (16 * i)) & 0xffffL).toInt)
+
+  /** Hamming-ball banding keys with a tunable guarantee: split the 64-bit
+    * value into `blocks` equal-ish chunks and emit one key per
+    * C(blocks, keep) chunk combination (chunk values concatenated, tagged
+    * with the combination index). Any two values within Hamming distance
+    * `blocks - keep` share at least one key (≤ blocks-keep flips leave ≥ keep
+    * chunks intact — some kept combination is fully intact). Wider keys
+    * (higher `keep`) cut junk collisions; more blocks raise the guarantee.
+    */
+  def chunkCombos(v: Long, blocks: Int, keep: Int): Array[Long] = {
+    require(blocks >= 2 && keep >= 1 && keep < blocks && blocks <= 16)
+    val bounds = Array.tabulate(blocks + 1)(i => i * 64 / blocks)
+    val chunks = Array.tabulate(blocks) { i =>
+      val lo = bounds(i); val hi = bounds(i + 1)
+      (v >>> lo) & ((1L << (hi - lo)) - 1L)
+    }
+    val combos = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val idx = Array.range(0, keep)
+    var comboId = 0L
+    var done = false
+    while (!done) {
+      var key = comboId // tag with combination index → disjoint key spaces
+      var i = 0
+      while (i < keep) {
+        val c = idx(i)
+        key = key * 0x100000001b3L + chunks(c) + 1L // FNV-ish fold, order-sensitive
+        i += 1
+      }
+      combos += key
+      // next combination (lexicographic)
+      var p = keep - 1
+      while (p >= 0 && idx(p) == blocks - keep + p) p -= 1
+      if (p < 0) done = true
+      else {
+        idx(p) += 1
+        var q = p + 1
+        while (q < keep) { idx(q) = idx(q - 1) + 1; q += 1 }
+      }
+      comboId += 1
+    }
+    combos.toArray
+  }
 }

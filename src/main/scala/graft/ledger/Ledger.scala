@@ -27,8 +27,18 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
 
   private def path(stage: String, desc: String) = s"$root/$stage-$desc"
 
+  /** Resolved through the Hadoop FileSystem API so the `_SUCCESS` probe
+    * works wherever the parquet was written (HDFS/S3/local) — a
+    * java.io.File probe would silently disable resume off-box.
+    */
+  private def fsExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp)
+  }
+
   def isDone(stage: String, desc: String): Boolean =
-    new java.io.File(s"${path(stage, desc)}/_SUCCESS").exists()
+    fsExists(s"${path(stage, desc)}/_SUCCESS")
 
   /** Run-or-resume: if the descriptor's output is committed, read it back;
     * otherwise compute, persist, record metrics, and read back (so downstream
@@ -68,8 +78,6 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
     } catch { case _: Throwable => () } // metrics are best-effort
   }
 
-  def metrics(): Option[DataFrame] = {
-    val f = new java.io.File(s"$root/_metrics")
-    if (f.exists()) Some(spark.read.parquet(s"$root/_metrics")) else None
-  }
+  def metrics(): Option[DataFrame] =
+    if (fsExists(s"$root/_metrics")) Some(spark.read.parquet(s"$root/_metrics")) else None
 }

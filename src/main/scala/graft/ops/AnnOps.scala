@@ -37,54 +37,83 @@ object AnnOps {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed hash → uniform in [-1, 1). No RNG state, fully reproducible.
+  /** Deterministic pseudo-random hyperplane component for (table t, plane p,
+    * dim i): a fixed hash → uniform in [-1, 1). No RNG state, reproducible.
     */
-  private def planeComponent(p: Int, i: Int): Double = {
-    val h = graft.hash.Murmur3.hashU(s"plane-$p-$i", 7)
+  private def planeComponent(t: Int, p: Int, i: Int): Double = {
+    val h = graft.hash.Murmur3.hashU(s"plane-$t-$p-$i", 7)
     (h.toDouble / 2147483648.0) - 1.0
   }
 
-  /** Sign-bucket signature: `planes` random-hyperplane dot-product signs
-    * packed into an int — the ANN analog of an LSH band hash.
+  /** Multi-table sign-LSH banding: `tables` independent hyperplane tables of
+    * `planes` sign bits each → (band_id, band_hash, doc_id) rows, exactly
+    * the text-LSH band-table shape. A single wide table (the old design)
+    * had 2^planes total buckets and unbounded all-pairs inside each — at
+    * 10^9 vectors one bucket holds ~10^7 rows → ~10^13 pairs. Multiple
+    * narrower tables trade that for L·n postings with per-bucket caps and a
+    * recall knob: P(collide in ≥1 table) = 1 − (1 − (1 − θ/π)^planes)^tables.
     */
-  def withBucket(df: DataFrame, planes: Int, dim: Int): DataFrame = {
-    // hyperplane matrix is tiny (planes × dim) → literal arrays, codegen'd
-    val planeCols = (0 until planes).map { p =>
-      val comps = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
-      val dot = aggregate(zip_with(col("embedding"), comps, (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+  def bandTable(df: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame = {
+    // hyperplane tensor is tiny (tables × planes × dim) → literals, codegen'd
+    val tableCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val comps = array((0 until dim).map(i => lit(planeComponent(t, p, i))): _*)
+        val dot = aggregate(zip_with(col("embedding"), comps, (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
     }
-    df.withColumn("bucket", planeCols.reduce(_ + _))
+    df.select(col("vec_id").as("doc_id"),
+      posexplode(array(tableCols: _*)).as(Seq("band_id", "band_hash")))
   }
 
-  /** LSH-bucketed approximate top-k: score only within matching sign
-    * buckets. Recall grows with fewer planes / multiple probes; this single
-    * probe variant is the scale skeleton (bucket = shuffle key).
+  /** Candidate pairs from the multi-table banding, bucket-capped through the
+    * shared skew-capped pair emitter (a hot sign-bucket is a degenerate
+    * direction in embedding space — the boilerplate analog).
     */
-  def lshTopK(df: DataFrame, k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
-    val b = withBucket(df, planes, dim)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+  def candidatePairs(df: DataFrame, tables: Int, planes: Int, dim: Int,
+      maxBucket: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.pipeline.DedupPipeline.pairsFromBands(
+      spark, bandTable(df, tables, planes, dim), cap = maxBucket, bandMatchesRequired = 1)
+  }
+
+  /** LSH approximate top-k: score only candidate pairs from the multi-table
+    * banding. Defaults (10 tables × 12 bits) give ≥0.95 expected recall for
+    * cos ≥ 0.95 neighbors (1−(1−0.899^12)^10 ≈ 0.96); tune tables/planes
+    * for the recall/cost point.
+    */
+  def lshTopK(df: DataFrame, k: Int, tables: Int = 10, planes: Int = 12,
+      dim: Int = 64, maxBucket: Int = 2000): DataFrame = {
+    val cand = candidatePairs(df, tables, planes, dim, maxBucket)
+    val e = df.select(col("vec_id"), col("embedding"))
+    // symmetric: each unordered candidate pair serves both directions
+    val sym = cand.select(col("a"), col("b"))
+      .unionByName(cand.select(col("b").as("a"), col("a").as("b")))
+    val scored = sym
+      .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
+      .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+        cosine(col("e_a"), col("e_b")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * generated within LSH buckets (the embedding channel of dedup).
+    * generated from the multi-table banding (the embedding channel of dedup).
     */
-  def cosineDupPairs(df: DataFrame, threshold: Double, planes: Int = 6, dim: Int = 64): DataFrame = {
-    val b = withBucket(df, planes, dim).select(col("vec_id"), col("embedding"), col("bucket"))
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", cosine(col("x.embedding"), col("y.embedding")))
+  def cosineDupPairs(df: DataFrame, threshold: Double, tables: Int = 10,
+      planes: Int = 12, dim: Int = 64, maxBucket: Int = 2000): DataFrame = {
+    val cand = candidatePairs(df, tables, planes, dim, maxBucket)
+    val e = df.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
+      .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
+      .withColumn("cos", cosine(col("e_a"), col("e_b")))
       .where(col("cos") >= threshold)
-      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"), col("cos"))
+      .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"), col("cos"))
   }
 }

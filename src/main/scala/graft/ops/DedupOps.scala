@@ -52,12 +52,15 @@ object DedupOps {
       cfg: GraftConfig = GraftConfig.default,
       opts: PipelineOptions = PipelineOptions()): DataFrame = {
     val pipe = new DedupPipeline(spark, cfg, opts)
-    val sigs = pipe.signatureStage(pipe.extractStage(asCorpus(docs), fromHtml = false))
-      .toDF().where(col("hashable"))
+    // ONE signature pass: the cached table feeds both the id map and the
+    // pair pipeline (the earlier form recomputed signatureStage inside
+    // dupPairs — paying the dominant CPU cost twice)
+    val sigs0 = pipe.signatureStage(pipe.extractStage(asCorpus(docs), fromHtml = false))
+      .toDF()
       .withColumn("orig_id", expr("cast(substring(url, 4) as long)"))
       .cache()
-    val idMap = sigs.select("doc_id", "orig_id")
-    val pairsRaw = pipe.dupPairs(asCorpus(docs), fromHtml = false)
+    val idMap = sigs0.select("doc_id", "orig_id")
+    val pairsRaw = pipe.dupPairsFromSigs(sigs0.drop("orig_id"))
     pairsRaw
       .join(idMap.withColumnRenamed("doc_id", "src").withColumnRenamed("orig_id", "ida"), "src")
       .join(idMap.withColumnRenamed("doc_id", "dst").withColumnRenamed("orig_id", "idb"), "dst")

@@ -124,19 +124,31 @@ object MultimodalOps {
     }
   }
 
-  /** Near-dup media pairs by perceptual-hash hamming ball — reuses the
-    * SimHash chunk-banding candidate pattern.
+  /** Near-dup media pairs by perceptual-hash Hamming ball. Candidate
+    * generation: C(blocks, keep) chunk-combination tables
+    * (SimHash.chunkCombos) — any pair within Hamming distance blocks − keep
+    * is GUARANTEED a shared band key, so the defaults (6 blocks, keep 2)
+    * cover maxHamming = 4 exactly; keys are ~21-bit chunk concatenations
+    * (vs the old single-16-bit-chunk scheme whose junk collisions were
+    * ~n²/2^17 and whose guarantee silently stopped at Hamming 3). Hot keys
+    * are capped through the shared skew-capped pair emitter.
     */
-  def phashDupPairs(features: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val chunksUdf = udf((v: Long) => graft.hash.SimHash.chunks16(v))
-    val banded = features.select(col("media_id"), col("phash"),
-        posexplode(chunksUdf(col("phash"))).as(Seq("band_id", "chunk")))
-    banded.as("x").join(banded.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.chunk") === col("y.chunk") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("media_id_a"), col("y.media_id").as("media_id_b"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("int").as("hamming"))
-      .distinct()
+  def phashDupPairs(features: DataFrame, maxHamming: Int = 4,
+      blocks: Int = 6, maxGroup: Int = 500): DataFrame = {
+    val keep = math.min(blocks - 1, blocks - maxHamming)
+    require(keep >= 1, s"blocks=$blocks cannot guarantee maxHamming=$maxHamming")
+    val combosUdf = udf((v: Long) => graft.hash.SimHash.chunkCombos(v, blocks, keep))
+    val banded = features.select(col("media_id").as("doc_id"),
+        posexplode(combosUdf(col("phash"))).as(Seq("band_id", "band_hash")))
+    val spark = features.sparkSession
+    val cand = graft.pipeline.DedupPipeline
+      .pairsFromBands(spark, banded, cap = maxGroup, bandMatchesRequired = 1)
+    val ph = features.select(col("media_id"), col("phash"))
+    cand
+      .join(ph.withColumnRenamed("media_id", "a").withColumnRenamed("phash", "ph_a"), "a")
+      .join(ph.withColumnRenamed("media_id", "b").withColumnRenamed("phash", "ph_b"), "b")
+      .select(col("a").as("media_id_a"), col("b").as("media_id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -25,21 +25,35 @@ object QueryMatch {
     QuerySig(d.sig, bands, d.simhash, d.exact_hash, d.n_tokens)
   }
 
-  /** Top-k corpus matches for a query text. The corpus side is the standard
-    * signature table (from DedupPipeline.signatureStage); candidate pruning
-    * uses per-band equality on the 20 query band hashes — a tiny IN-list
-    * that pushes down — then exact verification, ≥2 band matches required.
+  /** Top-k corpus matches for a query text, signing the corpus in-flight.
+    * Convenience form for ad-hoc corpora: at any real scale use
+    * `topMatchesFromIndex` against the PERSISTED signature/band tables —
+    * re-signing 100 TB of corpus to answer one probe is the anti-pattern
+    * (the reference also probes its stored band index, MatcherQuery.py:19-52).
     */
   def topMatches(spark: SparkSession, docs: DataFrame, queryText: String, k: Int = 10,
       cfg: GraftConfig = GraftConfig.default,
       requireBands: Int = 2): DataFrame = {
     val pipe = new DedupPipeline(spark, cfg)
-    val q = signQuery(queryText, cfg)
-    if (q.bandHashes.isEmpty) return spark.emptyDataFrame
-
     val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false))
       .toDF().where(col("hashable")).cache()
     val bands = pipe.bandStage(sigs)
+    topMatchesFromIndex(spark, sigs, bands, queryText, k, cfg, requireBands)
+  }
+
+  /** Top-k corpus matches probing a prebuilt index: `sigs` and `bands` are
+    * the persisted signature/band tables (Ledger stage outputs). The probe
+    * is 20 broadcast point-lookups on (band_id, band_hash) — pushed into the
+    * scan by Catalyst — plus one verify join; NO signature pass over the
+    * corpus runs.
+    */
+  def topMatchesFromIndex(spark: SparkSession, sigs: DataFrame, bands: DataFrame,
+      queryText: String, k: Int = 10,
+      cfg: GraftConfig = GraftConfig.default,
+      requireBands: Int = 2): DataFrame = {
+    val q = signQuery(queryText, cfg)
+    if (q.bandHashes.isEmpty) return spark.emptyDataFrame
+
     // band_id must match positionally: band i of the corpus vs band i of the query
     val queryBands = q.bandHashes.zipWithIndex
       .map { case (h, i) => (i, h) }.toSeq

@@ -30,14 +30,16 @@ object SearchQuery {
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def eof: Boolean = { ws(); i >= s.length }
     def peek: Char = s.charAt(i)
-    def tryConsume(tok: String): Boolean = {
+    /** keyword lookahead with a word-boundary check — `orange` is a bare
+      * term, not the OR operator followed by `ange`. */
+    def peekKeyword(tok: String): Boolean = {
       ws()
-      if (s.regionMatches(true, i, tok, 0, tok.length)) {
-        val end = i + tok.length
-        val boundary = end >= s.length || !s.charAt(end).isLetter || !tok.head.isLetter
-        if (boundary) { i = end; return true }
-      }
-      false
+      if (!s.regionMatches(true, i, tok, 0, tok.length)) return false
+      val end = i + tok.length
+      end >= s.length || !s.charAt(end).isLetter || !tok.head.isLetter
+    }
+    def tryConsume(tok: String): Boolean = {
+      if (peekKeyword(tok)) { i += tok.length; true } else false
     }
 
     def parseOr(): Node = {
@@ -52,7 +54,7 @@ object SearchQuery {
       while (go) {
         ws()
         if (tryConsume("AND")) xs = parseNot() :: xs
-        else if (!eof && peek != ')' && !s.regionMatches(true, i, "OR", 0, 2)) {
+        else if (!eof && peek != ')' && !peekKeyword("OR")) {
           // implicit AND
           xs = parseNot() :: xs
         } else go = false
@@ -126,21 +128,54 @@ object SearchQuery {
 
   // ---- transpile to Column --------------------------------------------
 
+  /** Bare-term expansion spec: the term expands into this field's
+    * contains-condition only when it has at least `minLen` chars — the
+    * conditional-field rule of the reference's SearchFieldResolver
+    * (≅ /root/reference/mcrit/index/SearchQueryTree.py:111-139, where sha256
+    * participates only for terms of length ≥ 3).
+    */
+  final case class FieldSpec(name: String, minLen: Int = 0)
+
+  /** Transpile options. `idField`: a bare all-digits term becomes a point
+    * lookup on this column; `hexField`: a bare hex term of at least the given
+    * length becomes an equality on this column (≅ the reference's id/sha
+    * fast-path, /root/reference/mcrit/index/MinHashIndex.py:574-704).
+    */
+  final case class Options(
+      fields: Seq[FieldSpec],
+      numericFields: Set[String] = Set.empty,
+      idField: Option[String] = None,
+      hexField: Option[(String, Int)] = None)
+
   /** numericFields get int coercion (≅ MemorySearchTranspiler int coercion,
     * /root/reference/mcrit/storage/MemoryStorage.py:104-109).
     */
   def toColumn(node: Node, defaultFields: Seq[String],
-      numericFields: Set[String] = Set.empty): Column = node match {
-    case And(xs) => xs.map(toColumn(_, defaultFields, numericFields)).reduce(_ && _)
-    case Or(xs) => xs.map(toColumn(_, defaultFields, numericFields)).reduce(_ || _)
-    case Not(x) => !toColumn(x, defaultFields, numericFields)
+      numericFields: Set[String] = Set.empty): Column =
+    toColumnWith(node, Options(defaultFields.map(FieldSpec(_)), numericFields))
+
+  def toColumnWith(node: Node, o: Options): Column = node match {
+    case And(xs) => xs.map(toColumnWith(_, o)).reduce(_ && _)
+    case Or(xs) => xs.map(toColumnWith(_, o)).reduce(_ || _)
+    case Not(x) => !toColumnWith(x, o)
     case Term(v) =>
-      // bare term → OR of contains over default fields (≅ SearchFieldResolver)
-      defaultFields.map(f => col(f).cast("string").contains(v)).reduce(_ || _)
+      lazy val isInt = v.nonEmpty && v.forall(_.isDigit) && v.toLongOption.isDefined
+      lazy val isHex = o.hexField.exists { case (_, n) =>
+        v.length >= n && v.forall(c => c.isDigit || ('a' <= (c | 0x20) && (c | 0x20) <= 'f'))
+      }
+      if (o.idField.isDefined && isInt) col(o.idField.get) === v.toLong
+      else if (isHex) lower(col(o.hexField.get._1)) === v.toLowerCase
+      else {
+        // bare term → OR of contains over the applicable fields
+        // (≅ SearchFieldResolver; too-short terms skip conditional fields)
+        val applicable = o.fields.filter(f => v.length >= f.minLen)
+        if (applicable.isEmpty) lit(false)
+        else applicable.map(f => col(f.name).cast("string").contains(v)).reduce(_ || _)
+      }
     case Cond(field, op, v) =>
       val c = col(field)
       val value: Any =
-        if (numericFields.contains(field)) v.toLongOption.getOrElse(v) else v
+        if (o.numericFields.contains(field)) v.toLongOption.getOrElse(v) else v
       op match {
         case "=" => c === value
         case "!=" => c =!= value
@@ -156,4 +191,7 @@ object SearchQuery {
   def predicate(query: String, defaultFields: Seq[String],
       numericFields: Set[String] = Set.empty): Column =
     toColumn(parse(query), defaultFields, numericFields)
+
+  def predicateWith(query: String, o: Options): Column =
+    toColumnWith(parse(query), o)
 }

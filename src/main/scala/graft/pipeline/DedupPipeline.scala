@@ -42,16 +42,25 @@ final case class PipelineOptions(
     simHashScoreFloor: Double = 30.0,
     jaccardVerify: Boolean = false,
     jaccardThreshold: Double = 0.3,
+    // detect+repair 64-bit doc_id birthday collisions (≈27k expected at the
+    // 10^12-doc design point) — one cheap partial-aggregated count shuffle
+    auditIds: Boolean = true,
     numPartitions: Int = 0 // 0 = leave to session default
 )
 
-/** Per-doc computed features (one row per input url). */
+/** Per-doc computed features (one row per input url). The exact-dup identity
+  * is 128-bit (exact_hash, exact_hash2): a single 64-bit content hash at the
+  * 10^12-doc design scale expects ~27k birthday collisions = silent false
+  * exact merges. doc_id stays a 64-bit join/shuffle key (narrow hot-path
+  * rows); its collisions are repaired by `resolveIdCollisions`.
+  */
 final case class DocSig(
     doc_id: Long,
     url: String,
     n_tokens: Int,
     hashable: Boolean,
     exact_hash: Long,
+    exact_hash2: Long,
     has_exact: Boolean,
     sig: Array[Byte],
     simhash: Long)
@@ -76,9 +85,10 @@ object DocSig {
       val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
       val hasExact = n >= c.exactHashMinTokens
       val exactHash = if (hasExact) SimHash.hash64(normalized) else 0L
+      val exactHash2 = if (hasExact) SimHash.hash64b(normalized) else 0L
       if (!hashable)
-        return DocSig(docId, url, n, hashable = false, exactHash, hasExact,
-          Array.emptyByteArray, 0L)
+        return DocSig(docId, url, n, hashable = false, exactHash, exactHash2,
+          hasExact, Array.emptyByteArray, 0L)
       // one shingling pass, zero per-window allocation (≅ process(seed=0,
       // weights off) incl. the empty→0xFFFFFFFF sentinel)
       val kgHashes = kgram.hashedShingles(tok)
@@ -87,7 +97,7 @@ object DocSig {
         Map(kgram.name -> kgHashes, fuzzy.name -> fzHashes))
       // hashable docs always have ≥1 token ⇒ ≥1 real k-gram shingle
       val sh = SimHash.ofHashes(kgHashes)
-      DocSig(docId, url, n, hashable = true, exactHash, hasExact,
+      DocSig(docId, url, n, hashable = true, exactHash, exactHash2, hasExact,
         hasher.pack(sigInts), sh)
     }
   }
@@ -129,19 +139,54 @@ final class DedupPipeline(
 
   // ---- exact channel (pichash analog) ---------------------------------
 
-  /** Representative per exact-hash group + member→rep edges.
+  /** Representative per exact-hash group + member→rep edges, keyed by the
+    * 128-bit (exact_hash, exact_hash2) identity.
     * ≅ V6/V7: exact dups match at score 100 and are pruned from the fuzzy
-    * path (MatcherInterface.py:137-148,273-308).
+    * path (MatcherInterface.py:137-148,273-308). Feed this the UNFILTERED
+    * signature table: docs in the [exactHashMinTokens, minTokens] gap are
+    * not minhashable but byte-identical short docs must still exact-dedup.
     */
   def exactGroups(sigs: DataFrame): (DataFrame, DataFrame) = {
     val withExact = sigs.where(col("has_exact"))
-    val reps = withExact.groupBy("exact_hash")
+    val reps = withExact.groupBy("exact_hash", "exact_hash2")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
-    val exactEdges = withExact.select("exact_hash", "doc_id")
-      .join(reps.select("exact_hash", "rep_id"), "exact_hash")
+    val exactEdges = withExact.select("exact_hash", "exact_hash2", "doc_id")
+      .join(reps.select("exact_hash", "exact_hash2", "rep_id"),
+        Seq("exact_hash", "exact_hash2"))
       .where(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("src"), col("doc_id").as("dst"))
     (reps, exactEdges)
+  }
+
+  /** Detect and deterministically repair doc_id birthday collisions: ids
+    * claimed by more than one distinct url are re-keyed with a salted
+    * re-hash, iterating until clean (expected 1 round; collision sets are
+    * tiny — ~27k at 10^12 docs — so the fix-up join broadcasts). Duplicate
+    * input urls are NOT collisions: they collapse by design (S1 dedup by
+    * key, ≅ sha256 dedup, MemoryStorage.py:369) and stay untouched.
+    */
+  def resolveIdCollisions(sigs0: DataFrame): DataFrame = {
+    val rehash = udf((url: String, round: Int) => SimHash.hash64(s"doc:$round:$url"))
+    var cur = sigs0
+    var round = 1
+    var clean = false
+    while (!clean && round <= 5) {
+      val collided = cur.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), min("url").as("u_min"), max("url").as("u_max"))
+        .where(col("n") > 1 && col("u_min") =!= col("u_max"))
+        .select("doc_id")
+      if (collided.isEmpty) clean = true
+      else {
+        cur = cur.join(broadcast(collided.withColumn("_hit", lit(true))), Seq("doc_id"), "left")
+          .withColumn("doc_id",
+            when(col("_hit"), rehash(col("url"), lit(round))).otherwise(col("doc_id")))
+          .drop("_hit")
+        round += 1
+      }
+    }
+    if (!clean) throw new IllegalStateException(
+      "doc_id collision repair did not converge after 5 rounds")
+    cur
   }
 
   // ---- LSH banding ----------------------------------------------------
@@ -204,44 +249,8 @@ final class DedupPipeline(
     * and is dropped; its members still pair through their other 19 bands or
     * the exact channel.
     */
-  def candidateStage(bands: DataFrame, bandMatchesRequired: Int): DataFrame = {
-    val cap = opts.maxBandGroupSize
-    // one shuffle, streamed groups: hot groups are dropped at `cap` while
-    // streaming (stop-band policy — boilerplate bands would be quadratic),
-    // so no group ever materializes unbounded. Measured faster here than
-    // both the sort-scan variant and a fully-declarative self-join (the SMJ
-    // buffers massive equal-key runs and sorts the band table twice).
-    // pack (band_id, band_hash) into one long key (band hashes are 32-bit
-    // mmh3 values; simhash chunk-pair keys are 32-bit too) — narrower
-    // shuffle rows, single-long grouping key
-    val pairs = bands
-      .select((shiftleft(col("band_id").cast("long"), 32)
-          .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
-        col("doc_id"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_: Long, rows: Iterator[(Long, Long)]) =>
-        val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
-        var overflow = false
-        while (rows.hasNext) {
-          val id = rows.next()._2
-          if (!overflow) {
-            ids += id
-            if (ids.length > cap) overflow = true
-          }
-        }
-        if (overflow || ids.length < 2) Iterator.empty
-        else {
-          val arr = ids.toArray
-          java.util.Arrays.sort(arr)
-          arr.indices.iterator.flatMap(i =>
-            ((i + 1) until arr.length).iterator.map(j => (arr(i), arr(j))))
-        }
-      }
-      .toDF("a", "b")
-    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
-      .where(col("n_bands") >= bandMatchesRequired)
-  }
+  def candidateStage(bands: DataFrame, bandMatchesRequired: Int): DataFrame =
+    DedupPipeline.pairsFromBands(spark, bands, opts.maxBandGroupSize, bandMatchesRequired)
 
   // ---- verification ---------------------------------------------------
 
@@ -315,12 +324,14 @@ final class DedupPipeline(
     // cache the FULL signature table: it feeds banding, verification and the
     // final assignment join — without this the typed signature pass (the
     // dominant CPU cost) would run twice
-    val sigs0 = runStage("signatures", s"fromHtml=$fromHtml", Nil) {
+    val sigsRaw = runStage("signatures", s"fromHtml=$fromHtml", Nil) {
       signatureStage(docs).toDF()
     }.cache()
+    val sigs0 = if (opts.auditIds) resolveIdCollisions(sigsRaw) else sigsRaw
     val sigs = sigs0.where(col("hashable"))
 
-    val (reps, exactEdges0) = exactGroups(sigs)
+    // exact channel over ALL has_exact docs (incl. short non-minhashable ones)
+    val (reps, exactEdges0) = exactGroups(sigs0)
     val exactEdges = runStage("exact_edges", "", Seq("signatures")) { exactEdges0 }
 
     // band only one signature per exact-group (implies-match pruning);
@@ -370,8 +381,18 @@ final class DedupPipeline(
   /** Verified duplicate pairs only (no clustering) — used by tests/bench. */
   def dupPairs(input: DataFrame, fromHtml: Boolean = true): DataFrame = {
     val docs = extractStage(input, fromHtml)
-    val sigs = signatureStage(docs).toDF().where(col("hashable")).cache()
-    val (reps, exactEdges) = exactGroups(sigs)
+    val sigs0 = signatureStage(docs).toDF().cache()
+    dupPairsFromSigs(sigs0)
+  }
+
+  /** As `dupPairs`, but over a precomputed (ideally cached) signature table —
+    * callers that already materialized `signatureStage` (the dominant CPU
+    * cost of the whole pipeline) must not pay it a second time.
+    */
+  def dupPairsFromSigs(sigs0: DataFrame): DataFrame = {
+    val sigs = sigs0.where(col("hashable"))
+    // exact channel sees ALL has_exact docs, incl. the short non-minhashable gap
+    val (reps, exactEdges) = exactGroups(sigs0)
     val repSigs = sigs
       .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .unionByName(sigs.where(!col("has_exact")))
@@ -382,5 +403,51 @@ final class DedupPipeline(
       .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
       .unionByName(exactEdges.select(col("src"), col("dst"),
         lit(100.0).as("score"), lit(0).as("hamming")))
+  }
+}
+
+object DedupPipeline {
+  /** Shared skew-capped pair emission from a band table
+    * (band_id, band_hash, doc_id) — used by the LSH candidate stage, the
+    * phash Hamming channel and the ANN bucket channel.
+    *
+    * One shuffle, streamed groups: hot groups are dropped at `cap` while
+    * streaming (stop-band policy — boilerplate bands would be quadratic), so
+    * no group ever materializes unbounded. Measured faster than both the
+    * sort-scan variant and a fully-declarative self-join (the SMJ buffers
+    * massive equal-key runs and sorts the band table twice). The
+    * (band_id, band_hash) key packs into one long (band hashes are 32-bit)
+    * — narrower shuffle rows, single-long grouping key.
+    */
+  def pairsFromBands(spark: SparkSession, bands: DataFrame,
+      cap: Int, bandMatchesRequired: Int): DataFrame = {
+    import spark.implicits._
+    val pairs = bands
+      .select((shiftleft(col("band_id").cast("long"), 32)
+          .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+        col("doc_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, rows: Iterator[(Long, Long)]) =>
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+        var overflow = false
+        while (rows.hasNext) {
+          val id = rows.next()._2
+          if (!overflow) {
+            ids += id
+            if (ids.length > cap) overflow = true
+          }
+        }
+        if (overflow || ids.length < 2) Iterator.empty
+        else {
+          val arr = ids.toArray
+          java.util.Arrays.sort(arr)
+          arr.indices.iterator.flatMap(i =>
+            ((i + 1) until arr.length).iterator.map(j => (arr(i), arr(j))))
+        }
+      }
+      .toDF("a", "b")
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+      .where(col("n_bands") >= bandMatchesRequired)
   }
 }

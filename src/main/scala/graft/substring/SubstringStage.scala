@@ -12,10 +12,17 @@ import graft.hash.Murmur3
   * overall similarity is below LSH thresholds (e.g. a quoted article inside
   * an otherwise-different page).
   *
-  * Candidate generation: Rabin-Karp-style anchors — the rolling hash of
-  * every stride-aligned `window`-token run; documents sharing an anchor hash
-  * share (whp) a verbatim `window`-token run. `groupBy(anchor)` is the
-  * shuffle; hot anchors (boilerplate) capped exactly like LSH stop-bands.
+  * Candidate generation: content-defined anchors (winnowing,
+  * Schleimer–Wilkerson–Aiken "Winnowing: Local Algorithms for Document
+  * Fingerprinting"): the rolling hash of EVERY `window`-token run is
+  * computed, and within each `winnow` consecutive window positions the
+  * (rightmost) minimum hash is selected. Because selection depends only on
+  * the hash values inside the run, two documents sharing a verbatim run of
+  * ≥ window + winnow − 1 tokens share at least one selected anchor
+  * regardless of the run's byte offset in either document. (The earlier
+  * stride-aligned variant only matched runs whose offsets were congruent
+  * mod stride — a silent recall hole.) `groupBy(anchor)` is the shuffle;
+  * hot anchors (boilerplate) capped exactly like LSH stop-bands.
   *
   * Verification: per candidate pair, the exact longest common token run via
   * a suffix array over the two token sequences (memory bounded per pair, not
@@ -29,28 +36,66 @@ object SubstringStage {
     tok.allTokens.map(t => (Murmur3.hashU(t, 0) & 0x7fffffffL).toInt).toArray
   }
 
-  /** polynomial rolling hashes of each stride-aligned window. */
-  def anchors(hashes: Array[Int], window: Int, stride: Int): Array[(Long, Int)] = {
-    if (hashes.length < window) return Array.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-    var start = 0
-    while (start + window <= hashes.length) {
-      var h = 1125899906842597L
-      var i = start
-      while (i < start + window) { h = h * 31 + hashes(i); i += 1 }
-      out += ((h, start))
-      start += stride
+  /** Winnowed anchors: O(n) rolling hash of every `window`-token run + a
+    * monotonic-deque minimum over each `winnow` consecutive positions
+    * (rightmost minimum on ties — a content-defined, offset-independent
+    * choice). Returns the distinct selected window hashes.
+    */
+  def anchors(hashes: Array[Int], window: Int, winnow: Int): Array[Long] = {
+    val m = hashes.length - window + 1
+    if (m <= 0) return Array.empty
+    // rolling polynomial hash over Long (wrapping, seedless — the avalanche
+    // mix below supplies diffusion): r(j+1) = (r(j) − x_j·31^(w−1))·31 + x_{j+w}
+    var pow = 1L
+    var k = 1
+    while (k < window) { pow *= 31L; k += 1 }
+    val wh = new Array[Long](m)
+    var r = 0L
+    var i = 0
+    while (i < window) { r = r * 31L + hashes(i); i += 1 }
+    wh(0) = mix(r)
+    var j = 1
+    while (j < m) {
+      r = (r - hashes(j - 1) * pow) * 31L + hashes(j + window - 1)
+      wh(j) = mix(r)
+      j += 1
     }
-    out.toArray
+    if (winnow <= 1) return wh.distinct
+    // rightmost minimum of every `winnow` consecutive positions, via a
+    // monotonic deque (O(n)); dedupe selections
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](m) // window-start indices; live range [head, tail)
+    var head = 0
+    var tail = 0
+    j = 0
+    while (j < m) {
+      // pop ≥ from the back: equal values yield to the newer (rightmost) one
+      while (tail > head && wh(dq(tail - 1)) >= wh(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      while (dq(head) <= j - winnow) head += 1 // expire out-of-window indices
+      if (j >= winnow - 1) selected.add(wh(dq(head)))
+      j += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var t = 0
+    while (it.hasNext) { out(t) = it.next(); t += 1 }
+    out
   }
 
-  /** Pairs of docs sharing a ≥`window`-token verbatim run, with the exact
-    * longest common run length from suffix-array verification.
+  /** splitmix-style avalanche so minima are taken over well-mixed values. */
+  private def mix(x: Long): Long = graft.hash.SimHash.mix64(x ^ 1125899906842597L)
+
+  /** Pairs of docs sharing a long verbatim token run, with the exact longest
+    * common run length from suffix-array verification. Detection is
+    * guaranteed (whp, modulo hash collisions) for shared runs of
+    * ≥ window + winnow − 1 tokens; callers should set
+    * minRun ≥ window + winnow − 1 so the filter matches the guarantee.
     * Input: (doc_id: Long, text: String).
     */
   def run(spark: SparkSession, docs: DataFrame,
-      window: Int = 40, stride: Int = 20,
-      maxAnchorGroup: Int = 200, minRun: Int = 40): DataFrame = {
+      window: Int = 40, winnow: Int = 8,
+      maxAnchorGroup: Int = 200, minRun: Int = 47): DataFrame = {
     import spark.implicits._
 
     val hashed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -59,9 +104,9 @@ object SubstringStage {
       .where(size(col("hashes")) >= window)
       .cache()
 
-    val w = window; val st = stride
+    val w = window; val wn = winnow
     val anchorRows = hashed.as[(Long, Array[Int])]
-      .flatMap { case (id, hs) => anchors(hs, w, st).map { case (a, _) => (a, id) } }
+      .flatMap { case (id, hs) => anchors(hs, w, wn).map(a => (a, id)) }
       .toDF("anchor", "doc_id")
       .distinct()
 

@@ -30,6 +30,40 @@ class SearchQuerySpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(bare == Seq(1L, 3L))
   }
+
+  test("bare terms starting with OR/AND/NOT letters parse as terms") {
+    // regression: the implicit-AND lookahead treated 'orange' as OR + 'ange'
+    assert(parse("lang:en orange") ==
+      And(List(Cond("lang", "=", "en"), Term("orange"))))
+    assert(parse("order android nothing") ==
+      And(List(Term("order"), Term("android"), Term("nothing"))))
+    assert(parse("a:1 OR orbit") == Or(List(Cond("a", "=", "1"), Term("orbit"))))
+  }
+
+  test("conditional-field expansion and id/hex fast-paths") {
+    val df = Seq(
+      (1L, "alpha news", "ff00aa11bb22cc33"),
+      (2L, "beta 42 story", "deadbeefdeadbeef"),
+      (42L, "gamma", "0011223344556677")).toDF("doc_id", "text", "sha")
+    val o = Options(
+      fields = Seq(FieldSpec("text"), FieldSpec("sha", minLen = 3)),
+      idField = Some("doc_id"), hexField = Some(("sha", 8)))
+    // all-digits bare term → id point lookup (not a contains over text)
+    val byId = df.where(SearchQuery.predicateWith("42", o))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(byId == Seq(42L))
+    // long hex term → sha equality
+    val byHex = df.where(SearchQuery.predicateWith("DEADBEEFDEADBEEF", o))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(byHex == Seq(2L))
+    // short term skips the minLen=3 sha field but still hits text
+    val short = df.where(SearchQuery.predicateWith("ff", o))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(short.isEmpty) // "ff" not in any text; sha skipped (len < 3... no: len 2 < 3)
+    val three = df.where(SearchQuery.predicateWith("f00", o))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(three == Seq(1L)) // len-3 term now includes the sha field
+  }
 }
 
 class TextOpsSpec extends SparkTestBase {
@@ -69,9 +103,36 @@ class AnnOpsSpec extends SparkTestBase {
 
   test("lsh topk: bucketed neighbors are scored and ranked") {
     val rows = (1 to 50).map(i => (i.toLong, vec(i / 4))).toDF("vec_id", "embedding")
-    val out = AnnOps.lshTopK(rows, k = 3, planes = 4, dim = 8)
+    val out = AnnOps.lshTopK(rows, k = 3, tables = 4, planes = 4, dim = 8)
     assert(out.count() > 0)
     assert(out.where(col("rank") > 3).count() == 0)
+  }
+
+  test("lsh recall@k ≥ 0.9 vs brute force on planted near-dup clusters") {
+    val dim = 16
+    val rnd = new java.util.Random(11)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.04f)
+    // 30 clusters × 4 near-identical members + 60 random singletons
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var id = 0L
+    for (_ <- 0 until 30) {
+      val base = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      for (_ <- 0 until 4) { rows += ((id, noisy(base))); id += 1 }
+    }
+    for (_ <- 0 until 60) { rows += ((id, Array.fill(dim)(rnd.nextFloat() - 0.5f))); id += 1 }
+    val df = rows.toSeq.toDF("vec_id", "embedding").cache()
+
+    val k = 3
+    val truth = AnnOps.bruteForceTopK(df, df, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = AnnOps.lshTopK(df, k, tables = 10, planes = 12, dim = dim)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // recall over the cluster members (singletons' "true" neighbors are
+    // near-orthogonal noise — not the LSH contract)
+    val clusterTruth = truth.filter(_._1 < 120L)
+    val recall = clusterTruth.count(approx.contains).toDouble / clusterTruth.size
+    assert(recall >= 0.9, s"lsh recall@$k = $recall < 0.9")
   }
 }
 
@@ -102,6 +163,21 @@ class MultimodalSpec extends SparkTestBase {
     val feats = MultimodalOps.extractFeatures(all).toDF()
     val pairs = MultimodalOps.phashDupPairs(feats, maxHamming = 0).collect()
     assert(pairs.exists(r => r.getLong(0) == m(0).media_id && r.getLong(1) == 999L))
+  }
+
+  test("phash banding guarantee: 4 flips spread across 4 chunks still found") {
+    import spark.implicits._
+    // the old single-16-bit-chunk banding had NO intact band for flips
+    // touching all 4 chunks — the C(6,2) combo tables must cover hamming ≤ 4
+    val base = 0x0123456789abcdefL
+    val flipped = base ^ (1L << 3) ^ (1L << 19) ^ (1L << 37) ^ (1L << 55)
+    assert(java.lang.Long.bitCount(base ^ flipped) == 4)
+    val feats = Seq((1L, base), (2L, flipped), (3L, ~base))
+      .toDF("media_id", "phash")
+    val pairs = MultimodalOps.phashDupPairs(feats, maxHamming = 4).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getInt(2) == 4)
   }
 }
 

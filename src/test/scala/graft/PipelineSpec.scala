@@ -113,6 +113,43 @@ class DedupPipelineSpec extends SparkTestBase {
     assert(out("u1") == out("u2"))
     assert(out("u3") != out("u1"))
   }
+
+  test("byte-identical docs in the short non-minhashable gap still exact-dedup") {
+    import spark.implicits._
+    // exactly 10 tokens: has_exact (n ≥ exactHashMinTokens=10) but NOT
+    // hashable (needs n > minTokens=10) — the gap the exact channel must cover
+    val short = "one two three four five six seven eight nine ten"
+    assert(short.split(" ").length == 10)
+    val rows = Seq(
+      ("s1", short), ("s2", short),
+      ("s3", "completely different ten tokens go here making another doc now yes"))
+      .toDF("url", "text")
+    val pipe = new DedupPipeline(spark)
+    val out = pipe.run(rows, fromHtml = false).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("s1") == out("s2"), "gap docs must merge via the exact channel")
+    assert(out("s3") != out("s1"))
+  }
+
+  test("doc_id collision audit re-keys colliding urls deterministically") {
+    import spark.implicits._
+    // synthesize a signature table with a manufactured 64-bit id collision
+    val sigs = Seq(
+      (42L, "url-a"), (42L, "url-b"),        // collision: same id, distinct urls
+      (7L, "url-c"), (9L, "url-d"), (9L, "url-d")) // duplicate url: NOT a collision
+      .toDF("doc_id", "url")
+    val pipe = new DedupPipeline(spark)
+    val fixed = pipe.resolveIdCollisions(sigs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUrl = fixed.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    assert(byUrl("url-a").head != byUrl("url-b").head, "collision must be repaired")
+    assert(byUrl("url-c").toSeq == Seq(7L), "clean ids stay untouched")
+    assert(byUrl("url-d").toSeq == Seq(9L), "duplicate urls are not collisions")
+    // deterministic: second run yields identical ids
+    val again = pipe.resolveIdCollisions(sigs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+    assert(again.toSeq == fixed.sortBy(_._2).toSeq)
+  }
 }
 
 class ResumeSpec extends SparkTestBase {

@@ -34,6 +34,33 @@ class QueryMatchSpec extends SparkTestBase {
     val docs = corpusRows.toDF("url", "text")
     assert(QueryMatch.topMatches(spark, docs, "too short", k = 5).isEmpty)
   }
+
+  test("index probe: persisted sig/band tables answer queries without re-signing") {
+    val docs = corpusRows.toDF("url", "text")
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qidx").toString
+    // persist the index once (the Ledger-stage analog)
+    val sigsLive = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false))
+      .toDF().where(col("hashable"))
+    sigsLive.write.parquet(s"$tmp/sigs")
+    pipe.bandStage(sigsLive).write.parquet(s"$tmp/bands")
+
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    val bands = spark.read.parquet(s"$tmp/bands")
+    val query = (1 to 50).map(i => w("alpha", i)).mkString(" ")
+    val out = QueryMatch.topMatchesFromIndex(spark, sigs, bands, query, k = 5)
+    // the probe plan must be pure relational over the parquet index — no
+    // typed signature pass (no object serialization boundary) anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"probe must not re-sign the corpus:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.head.getString(0) == "u1" && rows.head.getDouble(2) == 100.0)
+    // identical results to the in-flight variant
+    val direct = QueryMatch.topMatches(spark, docs, query, k = 5).collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      direct.map(r => (r.getString(0), r.getDouble(2))).toSeq)
+  }
 }
 
 class MaintenanceSpec extends SparkTestBase {

@@ -39,7 +39,7 @@ class SubstringStageSpec extends SparkTestBase {
     val c = (1 to 200).map(i => s"cw$i").mkString(" ")
     val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
 
-    val out = SubstringStage.run(spark, docs, window = 40, stride = 20, minRun = 40)
+    val out = SubstringStage.run(spark, docs, window = 40, winnow = 8, minRun = 47)
       .collect()
     assert(out.length == 1)
     val r = out.head
@@ -47,12 +47,35 @@ class SubstringStageSpec extends SparkTestBase {
     assert(r.getInt(2) >= 60, s"run length ${r.getInt(2)} should cover the excerpt")
   }
 
-  test("anchors are stride-aligned rolling hashes") {
-    val hs = Array.tabulate(100)(i => i + 1)
-    val as = SubstringStage.anchors(hs, window = 40, stride = 20)
-    assert(as.map(_._2).toSeq == Seq(0, 20, 40, 60))
-    // identical windows hash identically
-    val as2 = SubstringStage.anchors(hs.clone(), 40, 20)
-    assert(as.toSeq == as2.toSeq)
+  test("shared excerpt is found at offsets NOT congruent mod any stride") {
+    // the stride-aligned anchor scheme this replaced only matched runs whose
+    // start offsets were congruent mod stride; winnowing must not care.
+    // offsets: 307 in A (prime-ish), 0 in B
+    val excerpt = (1 to 60).map(i => s"ex${('a' + i % 26).toChar}$i").mkString(" ")
+    val a = (1 to 307).map(i => s"aw$i").mkString(" ") + " " + excerpt +
+      " " + (1 to 50).map(i => s"az$i").mkString(" ")
+    val b = excerpt + " " + (1 to 290).map(i => s"bw$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = SubstringStage.run(spark, docs, window = 40, winnow = 8, minRun = 47)
+      .collect()
+    assert(out.length == 1, "pair at incongruent offsets must be detected")
+    assert(out.head.getInt(2) >= 60)
+  }
+
+  test("winnowed anchors are offset-independent and guarantee-dense") {
+    val rnd = new scala.util.Random(7)
+    val run = Array.fill(60)(rnd.nextInt(1 << 30))
+    // same run embedded at arbitrary different offsets in different noise
+    val docA = Array.fill(131)(rnd.nextInt(1 << 30)) ++ run ++ Array.fill(45)(rnd.nextInt(1 << 30))
+    val docB = Array.fill(17)(rnd.nextInt(1 << 30)) ++ run ++ Array.fill(200)(rnd.nextInt(1 << 30))
+    val aA = SubstringStage.anchors(docA, window = 40, winnow = 8).toSet
+    val aB = SubstringStage.anchors(docB, window = 40, winnow = 8).toSet
+    // guarantee: shared run of ≥ window + winnow − 1 = 47 tokens ⇒ ≥1 shared anchor
+    assert(aA.intersect(aB).nonEmpty)
+    // determinism
+    assert(SubstringStage.anchors(docA.clone(), 40, 8).toSeq ==
+      SubstringStage.anchors(docA, 40, 8).toSeq)
+    // density sanity: winnowing selects ~2/(winnow+1) of positions, not all
+    assert(aA.size < docA.length)
   }
 }
