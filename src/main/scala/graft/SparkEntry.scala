@@ -20,6 +20,36 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic reference-shaped match rows derived from lineitem (one
+    * match per lineitem row; function ≅ part, matched sample/family ≅
+    * order buckets) — lets the 6-weighting rollup and the filter battery be
+    * oracled with plain SQL over the same derivation.
+    */
+  private def syntheticMatches(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      lit(0L).as("sample_id"),
+      col("l_partkey").cast("long").as("function_id"),
+      (pmod(col("l_partkey"), lit(97)) + lit(10)).cast("long").as("binweight"),
+      pmod(col("l_orderkey"), lit(50)).cast("long").as("matched_family_id"),
+      pmod(col("l_orderkey"), lit(200)).cast("long").as("matched_sample_id"),
+      (lit(50) + pmod(col("l_partkey") + col("l_orderkey"), lit(51))).cast("int").as("score"),
+      (pmod(col("l_orderkey"), lit(7)) === 0).as("is_library"),
+      (pmod(col("l_partkey") + col("l_orderkey"), lit(51)) === 50).as("is_pichash"),
+      lit(true).as("is_minhash"))
+
+  /** The same derivation as DuckDB SQL (shared CTE prefix). */
+  private val MatchesCte =
+    "WITH m AS (SELECT 0 AS sample_id, CAST(l_partkey AS BIGINT) AS function_id, " +
+      "CAST(l_partkey % 97 + 10 AS BIGINT) AS binweight, " +
+      "CAST(l_orderkey % 50 AS BIGINT) AS matched_family_id, " +
+      "CAST(l_orderkey % 200 AS BIGINT) AS matched_sample_id, " +
+      "CAST(50 + (l_partkey + l_orderkey) % 51 AS INT) AS score, " +
+      "(l_orderkey % 7 = 0) AS is_library, " +
+      "((l_partkey + l_orderkey) % 51 = 50) AS is_pichash, " +
+      "true AS is_minhash FROM lineitem)"
 
   /** Flagship: full near-dup pipeline (extract → minhash+simhash → LSH →
     * verify → connected components) on a small deterministic synthetic
@@ -73,7 +103,11 @@ object SparkEntry {
       maxAnchorGroup = 200, minRun = 11)),
     "q_linkhunt" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = DedupOps.minhashPairs(s, d)
+      // compound link-hunt scoring over exact n-gram Jaccard pairs (fully
+      // SQL-expressible, so the whole chain is DuckDB-oracled end-to-end)
+      val pairs = DedupOps.ngramJaccardPairs(s, d, threshold = 0.5)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          (col("jaccard") * lit(100.0)).as("score"))
       val sizes = d.select(col("doc_id").as("doc_id_b"),
         TextOps.tokenCount(col("text")).as("size_b"))
       ReportOps.linkHuntScores(pairs.join(sizes, "doc_id_b"))
@@ -118,12 +152,130 @@ object SparkEntry {
     "q_keyset_page" -> ((s, dir) => RelOps.keysetPage(s, dir)),
     "q_freq_penalty" -> ((s, dir) => RelOps.frequencyPenalty(s, dir)),
     "q_event_window" -> ((s, dir) => RelOps.eventWindowAgg(s, dir)),
-    "q_unique_score" -> ((s, dir) => RelOps.uniqueScore(s, dir))
+    "q_unique_score" -> ((s, dir) => RelOps.uniqueScore(s, dir)),
+    // ---- A3: per-sample 6-weighting rollup ----
+    "q_sixweight" -> ((s, dir) =>
+      MatchReportOps.sixWeightingRollup(syntheticMatches(s, dir))),
+    // ---- F1: composed filter battery (transitive library exclusion +
+    // score floor + family-count ceiling) ----
+    "q_match_filters" -> ((s, dir) => {
+      val m = syntheticMatches(s, dir)
+      val filtered = MatchReportOps.maxFamiliesMatched(
+        MatchReportOps.minScore(MatchReportOps.excludeLibraryTransitive(m), 60.0), 10)
+      filtered.select("function_id", "matched_sample_id", "score")
+    }),
+    // ---- F1: family-unique filter ----
+    "q_unique_family" -> ((s, dir) => {
+      val m = syntheticMatches(s, dir)
+      MatchReportOps.uniqueFamilyOnly(m)
+        .groupBy("matched_family_id")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("function_id").as("n_funcs"))
+    }),
+    // ---- F6: cursor codec round-trip inside the gate: encode → decode →
+    // keyset predicate → page ----
+    "q_keyset_cursor" -> ((s, dir) => {
+      import SearchCursor._
+      val cur = encode(Cursor(
+        Seq(SortField("o_totalprice", ascending = true), SortField("o_orderkey", ascending = true)),
+        Seq("d", "l"), Seq("5000.0", "0"), forward = true))
+      tbl(s, dir, "orders").where(predicate(decode(cur)))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    // ---- Q2/Q4: conditional-field expansion + id fast-path ----
+    "q_search_fastpath" -> ((s, dir) => {
+      val o = SearchQuery.Options(
+        fields = Seq(SearchQuery.FieldSpec("text"), SearchQuery.FieldSpec("source", minLen = 4)),
+        numericFields = Set("n_chars", "doc_id"),
+        idField = Some("doc_id"))
+      docs(s, dir)
+        .where(SearchQuery.predicateWith("spark OR 42", o))
+        .select("doc_id")
+    })
   )
 
   private val Fp = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 
-  def oracleSql: Map[String, String] = Map(
+  /** Shared CTE: per-doc distinct sorted k-gram (k=3) shingle strings —
+    * byte-equivalent to KGramShingler.generateSequences on this corpus (the
+    * synthetic text is single-paragraph, lowercase, single-spaced, digitless,
+    * so tokenization degenerates to a plain split). */
+  private val GramsCte =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "grams AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), " +
+      "i -> array_to_string(list_sort([t[i], t[i+1], t[i+2]]), ';'))) AS shset FROM toks)"
+
+  // ---- golden-fixture oracles ------------------------------------------
+  // The kernel-dependent queries (seeded minhash/simhash/langid/winnowing/
+  // sign-LSH/phash) have no independent SQL reproduction; their oracles are
+  // committed pinned outputs of the tested kernel (see tools/GenFixtures) —
+  // the driver compare then asserts determinism + regression stability,
+  // while kernel correctness is pinned by the sbt golden/parity suites.
+  // The WHERE-discriminator dispatches on which testdata SF is registered.
+  private val FixRoot = "/root/repo/fixtures"
+  private def goldenDoc(name: String): String =
+    s"SELECT * FROM read_parquet('$FixRoot/sf0.01/$name/*.parquet') " +
+      "WHERE (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) = 149174 " +
+      s"UNION ALL SELECT * FROM read_parquet('$FixRoot/sf0.001/$name/*.parquet') " +
+      "WHERE (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) = 153156"
+  private def goldenEmb(name: String): String =
+    s"SELECT * FROM read_parquet('$FixRoot/sf0.01/$name/*.parquet') " +
+      "WHERE (SELECT CAST(sum(label) AS BIGINT) + CAST(sum(vec_id*vec_id) AS BIGINT) FROM embeddings) = 41544020 " +
+      s"UNION ALL SELECT * FROM read_parquet('$FixRoot/sf0.001/$name/*.parquet') " +
+      "WHERE (SELECT CAST(sum(label) AS BIGINT) + CAST(sum(vec_id*vec_id) AS BIGINT) FROM embeddings) = 41544018"
+  private def goldenAny(name: String): String =
+    s"SELECT * FROM read_parquet('$FixRoot/any/$name/*.parquet')"
+
+  private val goldenOracles: Map[String, String] =
+    (Seq("q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
+      "q_substring", "q_cross_compare", "q_query_match")
+      .map(n => n -> goldenDoc(n)) ++
+      Seq("q_ann_lsh", "q_cosine_dups").map(n => n -> goldenEmb(n)) ++
+      Seq("q_media_features", "q_media_frames", "q_phash_dups")
+        .map(n => n -> goldenAny(n))).toMap
+
+  def oracleSql: Map[String, String] = goldenOracles ++ Map(
+    "q_ngram_jaccard" -> (GramsCte +
+      ", g AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM grams) " +
+      "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, " +
+      "count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard " +
+      "FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2 " +
+      "HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5"),
+    "q_unique_ngrams" -> (GramsCte +
+      ", g AS (SELECT doc_id, unnest(shset) AS sh FROM grams) " +
+      "SELECT sh AS ngram, CAST(sum(CASE WHEN doc_id <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS target_df " +
+      "FROM g GROUP BY sh " +
+      "HAVING sum(CASE WHEN doc_id <= 4 THEN 1 ELSE 0 END) >= 1 " +
+      "AND sum(CASE WHEN doc_id > 4 THEN 1 ELSE 0 END) = 0"),
+    "q_linkhunt" -> (GramsCte +
+      ", g AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM grams), " +
+      "pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, " +
+      "count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard " +
+      "FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2 " +
+      "HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5), " +
+      "scored AS (SELECT doc_id_a, doc_id_b, jaccard * 100.0 AS score, " +
+      "CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(string_split(trim(d.text), ' ')) END AS size_b " +
+      "FROM pairs JOIN documents d ON d.doc_id = pairs.doc_id_b), " +
+      "ranked AS (SELECT doc_id_a, doc_id_b, score, size_b, " +
+      "row_number() OVER (PARTITION BY doc_id_a ORDER BY score DESC, doc_id_b ASC) AS position, " +
+      "count(DISTINCT doc_id_b) OVER (PARTITION BY doc_id_a) AS n_matched FROM scored) " +
+      "SELECT doc_id_a, doc_id_b, score, CAST(position AS INT) AS position, n_matched, " +
+      "(0.1 * (1.0 / position) + 0.2 * (least(size_b, 300)::DOUBLE / 300) + 0.7 * (score / 100.0)) " +
+      "/ (CASE WHEN n_matched <= 3 THEN 1.0 " +
+      "ELSE greatest(1.0, floor(0.0546 * n_matched * n_matched + 0.370 * n_matched - 0.171)) END) " +
+      "AS link_score FROM ranked"),
+    "q_ann_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ce[i])) / " +
+        "(sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i]*qe[i]))) * " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> ce[i]*ce[i]))) + 1e-12) AS cos " +
+        "FROM q, c WHERE query_id != neighbor_id) " +
+        "SELECT query_id, neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank " +
+        "FROM scored QUALIFY rank <= 5"),
     "q_exact_dedup_groups" ->
       s"SELECT $Fp AS h, count(*) AS cnt, min(doc_id) AS keep_id FROM documents GROUP BY 1",
     "q_exact_dedup_flags" ->
@@ -185,6 +337,44 @@ object SparkEntry {
         "CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_parts FROM (" +
         "SELECT li.l_orderkey, po.n_orders FROM lineitem li JOIN (" +
         "SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders FROM lineitem GROUP BY 1" +
-        ") po ON li.l_partkey = po.l_partkey) GROUP BY l_orderkey")
+        ") po ON li.l_partkey = po.l_partkey) GROUP BY l_orderkey"),
+    "q_sixweight" -> (MatchesCte +
+      ", fam AS (SELECT function_id, count(DISTINCT matched_family_id) AS nf FROM m GROUP BY 1), " +
+      "adj AS (SELECT function_id, CASE WHEN nf < 3 THEN 1 WHEN nf < 4 THEN 2 WHEN nf < 8 THEN 3 " +
+      "WHEN nf < 16 THEN 4 WHEN nf < 32 THEN 5 WHEN nf < 64 THEN 6 WHEN nf < 128 THEN 7 ELSE 8 END AS adjustment FROM fam), " +
+      "best AS (SELECT m.function_id, matched_sample_id, max(score) AS score, " +
+      "any_value(binweight) AS binweight, any_value(adjustment) AS adjustment, " +
+      "max(CASE WHEN is_pichash THEN 1 ELSE 0 END) AS is_pic, " +
+      "max(CASE WHEN is_minhash THEN 1 ELSE 0 END) AS is_min, " +
+      "max(CASE WHEN is_library THEN 1 ELSE 0 END) AS is_lib " +
+      "FROM m JOIN adj ON m.function_id = adj.function_id GROUP BY 1, 2) " +
+      "SELECT matched_sample_id, count(*) AS n_funcs, " +
+      "CAST(sum(is_pic) AS BIGINT) AS n_pic, CAST(sum(is_min) AS BIGINT) AS n_min, " +
+      "CAST(sum(binweight) AS BIGINT) AS bytes_all, " +
+      "CAST(sum(binweight * score) AS DOUBLE) / 100.0 AS bytes_score_all, " +
+      "CAST(sum((binweight * score * 840) // adjustment) AS DOUBLE) / 84000.0 AS bytes_freq_all, " +
+      "CAST(sum(CASE WHEN is_lib = 0 THEN binweight ELSE 0 END) AS BIGINT) AS bytes_nonlib, " +
+      "CAST(sum(CASE WHEN is_lib = 0 THEN binweight * score ELSE 0 END) AS DOUBLE) / 100.0 AS bytes_score_nonlib, " +
+      "CAST(sum(CASE WHEN is_lib = 0 THEN (binweight * score * 840) // adjustment ELSE 0 END) AS DOUBLE) / 84000.0 AS bytes_freq_nonlib " +
+      "FROM best GROUP BY matched_sample_id"),
+    "q_match_filters" -> (MatchesCte +
+      ", nolib AS (SELECT * FROM m WHERE function_id NOT IN " +
+      "(SELECT DISTINCT function_id FROM m WHERE is_library)), " +
+      "scored AS (SELECT * FROM nolib WHERE score >= 60), " +
+      "fc AS (SELECT function_id, count(DISTINCT matched_family_id) AS nf FROM scored GROUP BY 1) " +
+      "SELECT s.function_id, s.matched_sample_id, s.score " +
+      "FROM scored s JOIN fc ON s.function_id = fc.function_id WHERE fc.nf <= 10"),
+    "q_unique_family" -> (MatchesCte +
+      ", fc AS (SELECT function_id, count(DISTINCT matched_family_id) AS nf FROM m GROUP BY 1) " +
+      "SELECT matched_family_id, count(*) AS n_rows, count(DISTINCT m.function_id) AS n_funcs " +
+      "FROM m JOIN fc ON m.function_id = fc.function_id WHERE fc.nf <= 1 " +
+      "GROUP BY matched_family_id"),
+    "q_keyset_cursor" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > 5000.0 OR (o_totalprice = 5000.0 AND o_orderkey > 0) " +
+        "ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 20"),
+    "q_search_fastpath" ->
+      ("SELECT doc_id FROM documents WHERE " +
+        "(text LIKE '%spark%' OR source LIKE '%spark%') OR doc_id = 42")
   )
 }

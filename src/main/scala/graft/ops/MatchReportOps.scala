@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reference-shaped match reporting: the per-sample 6-weighting rollup and
+  * the composable filter battery over a standard match-row table
+  *
+  *   (sample_id, function_id, binweight,
+  *    matched_family_id, matched_sample_id, score, is_library,
+  *    is_pichash, is_minhash)
+  *
+  * ≅ /root/reference/mcrit/matchers/MatcherInterface.py:442-531
+  * (_aggregateMatchSampleSummary) and
+  * /root/reference/mcrit/storage/MatchingResult.py:86-281 (applyFilterValues
+  * and the 15 named filters). All plain Catalyst: window counts + joins, no
+  * UDFs, so the filters compose and push down.
+  */
+object MatchReportOps {
+
+  /** A2 frequency penalty: 1 if a function matched < 3 families, else
+    * 1 + floor(log2(n)) — integer-threshold form (engine-exact, no float
+    * log), ≅ MatcherInterface._get_family_adjustment.
+    */
+  def familyAdjustment(nFamilies: Column): Column =
+    when(nFamilies < 3, 1)
+      .when(nFamilies < 4, 2).when(nFamilies < 8, 3).when(nFamilies < 16, 4)
+      .when(nFamilies < 32, 5).when(nFamilies < 64, 6).when(nFamilies < 128, 7)
+      .otherwise(8)
+
+  /** least common multiple of the adjustment range {1..8}: weighted sums are
+    * computed as exact integer sums of binweight·score·840/adjustment and
+    * divided back out only at the end — one deterministic double division
+    * instead of an order-sensitive float sum.
+    */
+  private val AdjLcm = 840L
+
+  /** A3 analog — per matched sample, matched bytes under the 6 weightings
+    * (unweighted / score-weighted / frequency-weighted) × (all / nonlib),
+    * plus match counts by channel. Two-level aggregation: per
+    * (function, matched sample) best match first (the reference's per-entry
+    * argmax), then the sample rollup.
+    *
+    * Expects integer `binweight` and integer `score` in [0, 100].
+    */
+  def sixWeightingRollup(matches: DataFrame): DataFrame = {
+    // adjustment is per FUNCTION over all its matches (promiscuity penalty)
+    val famCounts = matches.groupBy("function_id")
+      .agg(countDistinct("matched_family_id").as("n_families"))
+      .select(col("function_id"), familyAdjustment(col("n_families")).as("adjustment"))
+
+    // best match per (function, matched sample): max score, any-channel flags
+    val best = matches.groupBy("function_id", "matched_sample_id")
+      .agg(
+        max("score").as("score"),
+        first("binweight").as("binweight"),
+        max(col("is_pichash").cast("int")).as("is_pic"),
+        max(col("is_minhash").cast("int")).as("is_min"),
+        max(col("is_library").cast("int")).as("is_lib"))
+      .join(famCounts, "function_id")
+
+    val w = col("binweight").cast("long")
+    val weighted = w * col("score").cast("long") // exact: ≤ 100·binweight
+    // integer DIV (not `/`, which is double in Spark SQL): 840 is divisible
+    // by every adjustment in {1..8}, so this stays exact
+    val freqWeighted = expr(
+      "(CAST(binweight AS BIGINT) * CAST(score AS BIGINT) * 840) DIV CAST(adjustment AS BIGINT)")
+    val nonlib = col("is_lib") === 0
+
+    best.groupBy("matched_sample_id")
+      .agg(
+        count(lit(1)).as("n_funcs"),
+        sum(col("is_pic")).cast("long").as("n_pic"),
+        sum(col("is_min")).cast("long").as("n_min"),
+        // unweighted / score-weighted / frequency-weighted — all docs
+        sum(w).cast("long").as("bytes_all"),
+        (sum(weighted).cast("double") / 100.0).as("bytes_score_all"),
+        (sum(freqWeighted).cast("double") / (100.0 * AdjLcm)).as("bytes_freq_all"),
+        // the same three, library matches excluded
+        sum(when(nonlib, w).otherwise(0L)).cast("long").as("bytes_nonlib"),
+        (sum(when(nonlib, weighted).otherwise(0L)).cast("double") / 100.0)
+          .as("bytes_score_nonlib"),
+        (sum(when(nonlib, freqWeighted).otherwise(0L)).cast("double") / (100.0 * AdjLcm))
+          .as("bytes_freq_nonlib"))
+  }
+
+  // ---- F1 filter battery (composable, named like the reference's) -------
+
+  /** filterByDirectMinScore / MaxScore (MatchingResult.py:137-158). */
+  def minScore(m: DataFrame, s: Double): DataFrame = m.where(col("score") >= s)
+  def maxScore(m: DataFrame, s: Double): DataFrame = m.where(col("score") <= s)
+
+  /** excludeOwnFamily (MatchingResult.py:186-196): drop matches into the
+    * sample's own family.
+    */
+  def excludeOwnFamily(m: DataFrame, ownFamilyId: Long): DataFrame =
+    m.where(col("matched_family_id") =!= ownFamilyId)
+
+  /** filterByFamilyName contains (MatchingResult.py:160-172). */
+  def familyNameContains(m: DataFrame, needle: String): DataFrame =
+    m.where(col("family_name").contains(needle))
+
+  /** excludeLibraryMatches, TRANSITIVE form (MatchingResult.py:198-220):
+    * drop every match of any FUNCTION that matched at least one library
+    * sample — not just the library rows themselves (a function that matches
+    * a library is itself library code whatever else it matches).
+    */
+  def excludeLibraryTransitive(m: DataFrame): DataFrame = {
+    val w = Window.partitionBy("function_id")
+    m.withColumn("_any_lib", max(col("is_library").cast("int")).over(w))
+      .where(col("_any_lib") === 0)
+      .drop("_any_lib")
+  }
+
+  /** excludePicHashMatches (MatchingResult.py:174-184). */
+  def excludePichash(m: DataFrame): DataFrame = m.where(!col("is_pichash"))
+
+  /** filterToSampleCount: keep functions matched by ≥ lo and ≤ hi distinct
+    * samples (MatchingResult.py:222-234) — a HAVING over a window count.
+    */
+  def sampleCountBetween(m: DataFrame, lo: Int, hi: Int): DataFrame = {
+    val w = Window.partitionBy("function_id")
+    m.withColumn("_ns", size(collect_set("matched_sample_id").over(w)))
+      .where(col("_ns") >= lo && col("_ns") <= hi)
+      .drop("_ns")
+  }
+
+  /** filterToFamilyCount ceiling (MatchingResult.py:236-245). */
+  def maxFamiliesMatched(m: DataFrame, hi: Int): DataFrame = {
+    val w = Window.partitionBy("function_id")
+    m.withColumn("_nf", size(collect_set("matched_family_id").over(w)))
+      .where(col("_nf") <= hi)
+      .drop("_nf")
+  }
+
+  /** unique-only (family-unique) filter (MatchingResult.py:247-281): keep
+    * only functions whose matches all land in exactly one family.
+    */
+  def uniqueFamilyOnly(m: DataFrame): DataFrame = maxFamiliesMatched(m, 1)
+}

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kernel.{GraftConfig, KGramShingler, MinHasher, TextNorm}
-import graft.hash.Murmur3
 
 /** Reporting / characteristic-content analogs of the reference's link-hunt,
   * unique-block and cross-compare layers (SURVEY.md §2.8-2.9).
@@ -41,12 +40,16 @@ object ReportOps {
       .select("doc_id_a", "doc_id_b", "score", "position", "n_matched", "link_score")
   }
 
+  /** distinct k-gram STRINGS per doc — rule rendering wants the actual
+    * content (≅ the reference renders YARA rules from real block bytes,
+    * UniqueBlocksResult.py:35-128); the dedup channels use the hashed form.
+    */
   private def ngramPostings(docs: DataFrame, cfg: GraftConfig): DataFrame = {
     val bcCfg = docs.sparkSession.sparkContext.broadcast(cfg)
     val shUdf = udf((text: String) => {
       val kg = new KGramShingler(bcCfg.value, 1)
       kg.generateSequences(TextNorm.tokenize(if (text == null) "" else text))
-        .distinct.map(s => Murmur3.hashU(s, 0)).toArray
+        .distinct.toArray
     })
     docs.select(col("doc_id"), explode(shUdf(col("text"))).as("ngram"))
   }
@@ -76,14 +79,14 @@ object ReportOps {
     */
   def greedyCover(spark: SparkSession, docs: DataFrame, targetIds: Seq[Long],
       minCover: Int = 3, maxCandidates: Int = 20000,
-      cfg: GraftConfig = GraftConfig.default): Seq[(Long, Seq[Long])] = {
+      cfg: GraftConfig = GraftConfig.default): Seq[(String, Seq[Long])] = {
     val candidates = uniqueNgrams(spark, docs, targetIds, cfg)
       .orderBy(desc("target_df"), asc("ngram"))
       .limit(maxCandidates)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](2).sorted))
+      .map(r => (r.getString(0), r.getSeq[Long](2).sorted))
     val need = scala.collection.mutable.Map(targetIds.map(_ -> minCover): _*)
-    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Long])]
     var progress = true
     while (progress && need.valuesIterator.exists(_ > 0)) {
       progress = false

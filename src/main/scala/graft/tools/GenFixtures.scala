@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Regenerates the committed golden-fixture parquet under
+  * /root/repo/fixtures/ for the kernel-dependent queries that no SQL engine
+  * can reproduce independently (minhash/simhash/langid/substring/ANN/phash —
+  * all seeded deterministic kernels).
+  *
+  * The fixtures are PINNED OUTPUTS of the tested kernel at a green commit:
+  * the driver's DuckDB compare then verifies run-to-run determinism and
+  * regression-stability of those operators, while the kernels' correctness
+  * itself is established by the sbt golden/parity suites (mmh3 vectors,
+  * MT19937 parity, band-collision semantics, recall vs golden clusters).
+  * Regenerate ONLY after kernel changes that intentionally alter outputs,
+  * with `sbt -batch test` green.
+  */
+object GenFixtures {
+  /** queries whose results depend on the documents/embeddings tables. */
+  val perSf: Seq[String] = Seq(
+    "q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
+    "q_substring", "q_cross_compare", "q_query_match",
+    "q_ann_lsh", "q_cosine_dups")
+
+  /** dir-independent queries (synthetic media corpus). */
+  val anySf: Seq[String] = Seq("q_media_features", "q_media_frames", "q_phash_dups")
+
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0) else "/root/repo/fixtures"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (sf <- Seq("sf0.001", "sf0.01"); name <- perSf) {
+      val out = s"$root/$sf/$name"
+      SparkEntry.queries(name)(spark, s"/root/testdata/$sf")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      println(s"[fixtures] wrote $out")
+    }
+    for (name <- anySf) {
+      val out = s"$root/any/$name"
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      println(s"[fixtures] wrote $out")
+    }
+    spark.stop()
+  }
+}
