@@ -171,9 +171,15 @@ final class DedupPipeline(
     var round = 1
     var clean = false
     while (!clean && round <= 5) {
-      val collided = cur.groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), min("url").as("u_min"), max("url").as("u_max"))
-        .where(col("n") > 1 && col("u_min") =!= col("u_max"))
+      // cheap common path: a pure long-key count shuffle (map-side combined);
+      // url disambiguation — duplicate urls collapse by design, only distinct
+      // urls on one id are collisions — runs only over the suspicious ids
+      val suspicious = cur.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select("doc_id")
+      val collided = cur.join(broadcast(suspicious), "doc_id")
+        .groupBy("doc_id")
+        .agg(min("url").as("u_min"), max("url").as("u_max"))
+        .where(col("u_min") =!= col("u_max"))
         .select("doc_id")
       if (collided.isEmpty) clean = true
       else {
@@ -399,14 +405,18 @@ final class DedupPipeline(
     val mh = bandStage(repSigs)
     val all = if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
     val candidates = candidateStage(all, cfg.bandMatchesRequired)
-    verifyStage(candidates, sigs)
+    val lsh = verifyStage(candidates, sigs)
       .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
-      .unionByName(exactEdges.select(col("src"), col("dst"),
-        lit(100.0).as("score"), lit(0).as("hamming")))
+    DedupPipeline.mergeChannels(lsh, exactEdges)
   }
 }
 
 object DedupPipeline {
+  /** Channel flags bitmask, ≅ MatcherFlags
+    * (/root/reference/mcrit/matchers/MatcherFlags.py:4-6). */
+  val FlagMinhash = 1
+  val FlagExact = 2
+
   /** Shared skew-capped pair emission from a band table
     * (band_id, band_hash, doc_id) — used by the LSH candidate stage, the
     * phash Hamming channel and the ANN bucket channel.
@@ -449,5 +459,22 @@ object DedupPipeline {
       .toDF("a", "b")
     pairs.groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
       .where(col("n_bands") >= bandMatchesRequired)
+  }
+
+  /** A4 analog — per-pair elementwise merge of the fuzzy and exact channels:
+    * best score wins, channel flags OR together
+    * (≅ _craftResultDict's per-key max(score, is_pic, is_min) merge,
+    * /root/reference/mcrit/matchers/MatcherInterface.py:558-600). The same
+    * pair rarely appears in both channels (exact members never band), but
+    * the report row must carry "best score + which channels" when it does.
+    */
+  def mergeChannels(lsh: DataFrame, exactEdges: DataFrame): DataFrame = {
+    val l = lsh.select(col("src"), col("dst"), col("score"), col("hamming"),
+      lit(FlagMinhash).as("flags"))
+    val e = exactEdges.select(col("src"), col("dst"),
+      lit(100.0).as("score"), lit(0).as("hamming"), lit(FlagExact).as("flags"))
+    l.unionByName(e).groupBy("src", "dst")
+      .agg(max("score").as("score"), min("hamming").as("hamming"),
+        bit_or(col("flags")).cast("int").as("flags"))
   }
 }

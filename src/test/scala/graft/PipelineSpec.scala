@@ -47,6 +47,27 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(comp.length == n + 1)
   }
 
+  test("driver union-find and distributed star loop agree on a random graph") {
+    val rnd = new scala.util.Random(3)
+    // random graph: 400 nodes, 500 edges → many components of varied shape
+    val es = (0 until 500).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val df = es.toDF("src", "dst")
+    val viaDriver = ConnectedComponents.run(df) // small → driver union-find
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaStars = ConnectedComponents.run(df, driverThreshold = 0) // force distributed
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaDriver == viaStars)
+  }
+
+  test("distributed star loop handles a long chain (log-round convergence)") {
+    val n = 200
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges, driverThreshold = 0).collect()
+    assert(comp.forall(_.getLong(1) == 0L))
+    assert(comp.length == n + 1)
+  }
+
   test("CC is idempotent: rerunning on star edges returns the same labels") {
     val edges = Seq((1L, 5L), (1L, 7L), (1L, 9L)).toDF("src", "dst")
     val c1 = ConnectedComponents.run(edges)
@@ -129,6 +150,17 @@ class DedupPipelineSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out("s1") == out("s2"), "gap docs must merge via the exact channel")
     assert(out("s3") != out("s1"))
+  }
+
+  test("channel merge: per-pair max score, OR'd flags") {
+    import spark.implicits._
+    val lsh = Seq((1L, 2L, 80.0, 3), (3L, 4L, 60.0, 5)).toDF("src", "dst", "score", "hamming")
+    val exact = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val m = DedupPipeline.mergeChannels(lsh, exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(m((1L, 2L)) == ((100.0, 0, 3)), "both channels: max score, min hamming, flags 1|2")
+    assert(m((3L, 4L)) == ((60.0, 5, 1)))
+    assert(m((5L, 6L)) == ((100.0, 0, 2)))
   }
 
   test("doc_id collision audit re-keys colliding urls deterministically") {
