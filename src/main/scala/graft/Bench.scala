@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.corpus.CorpusGen
-import graft.pipeline.DedupPipeline
+import graft.tools.DedupRunOne
 
 /** Benchmark main: headline operator timings on SPARK_GRAFT_SF_DIR plus the
   * BASELINE.json north-metric — end-to-end dedup docs/sec on the synthetic
@@ -64,26 +64,48 @@ object Bench {
     path
   }
 
-  /** One timed dedup run over the pre-materialized corpus. A small
-    * end-to-end warm-up run precedes the timed window so JIT compilation of
-    * the kernel + codegen classes (a fixed per-JVM cost, not part of a
-    * long-running job's steady-state throughput) is excluded at BOTH
-    * parallelism levels.
+  /** One timed dedup run, forked into its own JVM PINNED to `cores` host
+    * CPUs (`taskset -c 0-(cores-1)` + `-XX:ActiveProcessorCount`): without
+    * the pin, a "local[8]" JVM's GC/netty/JIT threads spill onto the host's
+    * other 24 cores, flattering the narrow level and understating 8→32
+    * scaling — a cluster of 8 cores has 8 cores. A small end-to-end warm-up
+    * inside the fork excludes per-JVM JIT compilation (a fixed cost, not
+    * steady-state throughput) at both levels. Falls back in-process if the
+    * fork fails.
     */
   private def dedupRun(cores: Int, shuffleParts: Int, corpusPath: String,
       warmupPath: String): (Long, Double, Long) = {
-    val spark = mkSession(cores, shuffleParts)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ opens ++ Seq(
+      "-Xmx8g", "-XX:+UseParallelGC", s"-XX:ActiveProcessorCount=$cores",
+      "-cp", cp, "graft.tools.DedupRunOne",
+      corpusPath, warmupPath, cores.toString, shuffleParts.toString)
     try {
-      val warm = spark.read.parquet(warmupPath)
-      new DedupPipeline(spark).run(warm, fromHtml = true).select("cluster_id").distinct().count()
-      val corpus = spark.read.parquet(corpusPath)
-      val t0 = System.nanoTime()
-      val out = new DedupPipeline(spark).run(corpus, fromHtml = true)
-      val nClusters = out.select("cluster_id").distinct().count()
-      val nDocs = corpus.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      (nDocs, secs, nClusters)
-    } finally spark.stop()
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      proc.waitFor()
+      val line = out.linesIterator.find(_.startsWith("RESULT "))
+        .getOrElse(throw new RuntimeException(s"no RESULT line:\n${out.takeRight(2000)}"))
+      val Array(_, d, s, c) = line.split(' ')
+      (d.toLong, s.toDouble, c.toLong)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pinned fork failed (${e.getMessage}); running in-process")
+        val spark = DedupRunOne.mkSession(cores, shuffleParts)
+        try DedupRunOne.timedRun(spark, corpusPath, warmupPath)
+        finally spark.stop()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -171,6 +171,9 @@ object SparkEntry {
         .groupBy("matched_family_id")
         .agg(count(lit(1)).as("n_rows"), countDistinct("function_id").as("n_funcs"))
     }),
+    // ---- F4: per-function aggregation view ----
+    "q_func_agg" -> ((s, dir) =>
+      MatchReportOps.functionAggView(syntheticMatches(s, dir))),
     // ---- F6: cursor codec round-trip inside the gate: encode → decode →
     // keyset predicate → page ----
     "q_keyset_cursor" -> ((s, dir) => {
@@ -369,6 +372,14 @@ object SparkEntry {
       "SELECT matched_family_id, count(*) AS n_rows, count(DISTINCT m.function_id) AS n_funcs " +
       "FROM m JOIN fc ON m.function_id = fc.function_id WHERE fc.nf <= 1 " +
       "GROUP BY matched_family_id"),
+    "q_func_agg" -> (MatchesCte +
+      " SELECT function_id, max(score) AS best_score, " +
+      "count(DISTINCT matched_family_id) AS n_families, " +
+      "count(DISTINCT matched_sample_id) AS n_samples, " +
+      "CAST(sum(CASE WHEN is_pichash THEN 1 ELSE 0 END) AS BIGINT) AS n_pic, " +
+      "CAST(sum(CASE WHEN is_minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_min, " +
+      "CAST(sum(CASE WHEN is_library THEN 1 ELSE 0 END) AS BIGINT) AS n_lib " +
+      "FROM m GROUP BY function_id"),
     "q_keyset_cursor" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > 5000.0 OR (o_totalprice = 5000.0 AND o_orderkey > 0) " +

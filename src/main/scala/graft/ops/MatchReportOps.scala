@@ -138,4 +138,17 @@ object MatchReportOps {
     * only functions whose matches all land in exactly one family.
     */
   def uniqueFamilyOnly(m: DataFrame): DataFrame = maxFamiliesMatched(m, 1)
+
+  /** F4 — per-function aggregation view (MatchingResult.py:368-408): best
+    * score, distinct families/samples matched, counts by channel flag.
+    */
+  def functionAggView(m: DataFrame): DataFrame =
+    m.groupBy("function_id")
+      .agg(
+        max("score").as("best_score"),
+        countDistinct("matched_family_id").as("n_families"),
+        countDistinct("matched_sample_id").as("n_samples"),
+        sum(when(col("is_pichash"), 1).otherwise(0)).cast("long").as("n_pic"),
+        sum(when(col("is_minhash"), 1).otherwise(0)).cast("long").as("n_min"),
+        sum(when(col("is_library"), 1).otherwise(0)).cast("long").as("n_lib"))
 }

@@ -18,9 +18,12 @@ object TextOps {
 
   /** Deterministic document fingerprint: md5 of the whitespace-normalized
     * lowercase text (the whole-doc exact-hash analog of pichash, P3).
+    * Native single-pass codegen expression — semantics identical to
+    * `md5(regexp_replace(lower(trim(text)), "\\s+", " "))` (property-tested
+    * against it) without the per-row regex.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    graft.expr.NormalizedMd5.normalizedMd5(text)
 
   /** Quality stats per doc — length/punct/stopword/uniq ratios, scaled to
     * integers (floor(1000×ratio)) so they are engine-portable exactly.

@@ -45,6 +45,9 @@ final case class PipelineOptions(
     // detect+repair 64-bit doc_id birthday collisions (≈27k expected at the
     // 10^12-doc design point) — one cheap partial-aggregated count shuffle
     auditIds: Boolean = true,
+    // map-side heavy-hitter exclusion of over-cap band keys before the
+    // candidate shuffle (see pairsFromBands) — for mega-hot-band corpora
+    hotBandPrefilter: Boolean = false,
     numPartitions: Int = 0 // 0 = leave to session default
 )
 
@@ -256,7 +259,8 @@ final class DedupPipeline(
     * the exact channel.
     */
   def candidateStage(bands: DataFrame, bandMatchesRequired: Int): DataFrame =
-    DedupPipeline.pairsFromBands(spark, bands, opts.maxBandGroupSize, bandMatchesRequired)
+    DedupPipeline.pairsFromBands(spark, bands, opts.maxBandGroupSize, bandMatchesRequired,
+      prefilterHot = opts.hotBandPrefilter)
 
   // ---- verification ---------------------------------------------------
 
@@ -430,13 +434,43 @@ object DedupPipeline {
     * — narrower shuffle rows, single-long grouping key.
     */
   def pairsFromBands(spark: SparkSession, bands: DataFrame,
-      cap: Int, bandMatchesRequired: Int): DataFrame = {
+      cap: Int, bandMatchesRequired: Int, prefilterHot: Boolean = false): DataFrame = {
     import spark.implicits._
-    val pairs = bands
+    val keyed = bands
       .select((shiftleft(col("band_id").cast("long"), 32)
           .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
         col("doc_id"))
       .as[(Long, Long)]
+    // two-phase heavy-hitter prefilter: over-cap band keys are detected
+    // map-side (pigeonhole: a key with global count > cap has local count
+    // > cap/numMapTasks in at least one map partition), exactly counted on
+    // that tiny candidate superset, and anti-joined out BEFORE the shuffle —
+    // so a 10^7-member boilerplate band never sends its postings to one
+    // reducer just to be dropped there. Off by default: at bench scale the
+    // extra passes cost more than the skew they remove; turn on when the
+    // corpus has mega-hot bands (the 10^12-doc web path).
+    val input =
+      if (!prefilterHot) keyed
+      else {
+        val nParts = math.max(1, keyed.rdd.getNumPartitions)
+        val localT = math.max(2, cap / nParts)
+        val candidates = keyed.mapPartitions { it =>
+          val counts = new java.util.HashMap[Long, Int]()
+          it.foreach { case (k, _) => counts.merge(k, 1, (a, b) => a + b) }
+          import scala.jdk.CollectionConverters._
+          counts.entrySet().iterator().asScala
+            .filter(_.getValue >= localT).map(_.getKey)
+        }.toDF("band_key").distinct()
+        val hot = keyed.toDF("band_key", "doc_id")
+          .join(broadcast(candidates), "band_key")
+          .groupBy("band_key").agg(count(lit(1)).as("n"))
+          .where(col("n") > cap)
+          .select("band_key")
+        keyed.toDF("band_key", "doc_id")
+          .join(broadcast(hot), Seq("band_key"), "left_anti")
+          .as[(Long, Long)]
+      }
+    val pairs = input
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, rows: Iterator[(Long, Long)]) =>
         val ids = new scala.collection.mutable.ArrayBuffer[Long](64)

@@ -75,6 +75,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq(3, 0, 0, 1))
   }
 
+  test("native fingerprint expression ≡ md5∘regexp_replace∘lower∘trim") {
+    val texts = Seq(
+      "plain ascii words", "  leading and trailing   ", "tabs\tand\nnewlines\r\nmixed",
+      "MiXeD Case WORDS", "multiple    spaces\t\t\ttabs", "", " ", "\t\n",
+      "unicode: Ünïcødé ÉTÉ straße 東京 café", "a", "0 1 2 3", "xvtab",
+      "Ünïcødé\t\tSPÄCE   collapse") ++
+      (0 until 50).map(i => scala.util.Random.alphanumeric.take(i * 3).mkString(" "))
+    val df = texts.toDF("text")
+    val both = df.select(
+      TextOps.fingerprint(col("text")).as("native"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("composed")).collect()
+    for (r <- both) assert(r.getString(0) == r.getString(1), s"mismatch: $r")
+  }
+
   test("langid detects seeded languages deterministically") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog every day") == "en")
     assert(LangId.detect("der schnelle braune fuchs springt ueber den faulen hund") == "de")

@@ -152,6 +152,23 @@ class DedupPipelineSpec extends SparkTestBase {
     assert(out("s3") != out("s1"))
   }
 
+  test("hot-band prefilter: identical pairs, hot keys dropped before the shuffle") {
+    import spark.implicits._
+    // one mega-hot band key (600 members > cap 500) + small cold groups
+    val hot = (0 until 600).map(i => (0, 777L, i.toLong))
+    val cold = Seq((1, 10L, 1L), (1, 10L, 2L), (1, 10L, 3L),
+      (2, 11L, 1L), (2, 11L, 2L), (3, 12L, 5L))
+    val bands = (hot ++ cold).toDF("band_id", "band_hash", "doc_id")
+    val base = DedupPipeline.pairsFromBands(spark, bands, cap = 500, bandMatchesRequired = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val pre = DedupPipeline.pairsFromBands(spark, bands, cap = 500, bandMatchesRequired = 1,
+      prefilterHot = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(base == pre, "prefilter must not change the candidate set")
+    assert(base.nonEmpty && !base.exists { case (a, b, _) => a >= 100 || b >= 100 },
+      "hot-group members must not pair")
+  }
+
   test("channel merge: per-pair max score, OR'd flags") {
     import spark.implicits._
     val lsh = Seq((1L, 2L, 80.0, 3), (3L, 4L, 60.0, 5)).toDF("src", "dst", "score", "hamming")
