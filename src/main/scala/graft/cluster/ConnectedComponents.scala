@@ -34,17 +34,24 @@ object ConnectedComponents {
   def run(edgesIn: DataFrame, maxIterations: Int = 25,
       driverThreshold: Long = DriverEdgeThreshold): DataFrame = {
     val spark = edgesIn.sparkSession
-    // canonical undirected edges, self-loops dropped
-    var edges = edgesIn
+    // canonical undirected edges, self-loops dropped. NOT deduped yet: the
+    // driver path's union-find dedupes for free, so the distinct shuffle is
+    // only paid on the distributed path.
+    val canonical = edgesIn
       .select(
         least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .where(col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .cache() // materialize upstream (verify etc.) exactly once
 
-    val nEdges = edges.count()
-    if (nEdges <= driverThreshold) return runDriver(spark, edges)
+    val nEdges = canonical.count()
+    if (nEdges <= driverThreshold) {
+      val result = runDriver(spark, canonical)
+      canonical.unpersist()
+      return result
+    }
+    var edges = canonical.distinct().localCheckpoint(eager = true)
+    canonical.unpersist()
 
     // fixpoint detection by edge-set checksum: one single-row aggregation per
     // iteration instead of a count + a full shuffle-compare (except()); the
