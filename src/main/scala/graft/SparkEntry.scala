@@ -95,6 +95,8 @@ object SparkEntry {
     }),
     "q_ann_lsh" -> ((s, dir) => AnnOps.lshTopK(emb(s, dir), k = 5)
       .select("query_id", "neighbor_id", "rank")),
+    "q_ann_ivf" -> ((s, dir) => AnnOps.ivfTopK(emb(s, dir), k = 5)
+      .select("query_id", "neighbor_id", "rank")),
     "q_cosine_dups" -> ((s, dir) => AnnOps.cosineDupPairs(emb(s, dir), threshold = 0.4)
       .select("vec_id_a", "vec_id_b")),
     // ---- substring / reporting / multimodal ----
@@ -234,7 +236,7 @@ object SparkEntry {
     (Seq("q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
       "q_substring", "q_cross_compare", "q_query_match")
       .map(n => n -> goldenDoc(n)) ++
-      Seq("q_ann_lsh", "q_cosine_dups").map(n => n -> goldenEmb(n)) ++
+      Seq("q_ann_lsh", "q_ann_ivf", "q_cosine_dups").map(n => n -> goldenEmb(n)) ++
       Seq("q_media_features", "q_media_frames", "q_phash_dups")
         .map(n => n -> goldenAny(n))).toMap
 

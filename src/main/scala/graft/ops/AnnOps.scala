@@ -116,4 +116,91 @@ object AnnOps {
       .where(col("cos") >= threshold)
       .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"), col("cos"))
   }
+
+  // ---- IVF (inverted-file) variant -------------------------------------
+
+  /** Deterministic driver-side Lloyd's k-means over a fixed sample — the IVF
+    * coarse quantizer. Init = the lexicographically-first `nlist` sampled
+    * vectors (by vec_id); a fixed iteration count and driver-side float
+    * arithmetic make the centroids bit-stable across partitionings (MLlib's
+    * distributed k-means sums floats in partition order and is not).
+    * Centroid count is small by design (√n-ish) — this never sees the full
+    * table, only the sample.
+    */
+  def trainCentroids(df: DataFrame, nlist: Int, dim: Int,
+      sampleCap: Int = 4096, iters: Int = 10): Array[Array[Float]] = {
+    val sample = df.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    var centroids = sample.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      val ct = centroids(c)
+      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def rankedCentroids(v: Array[Float], centroids: Array[Array[Float]], n: Int): Array[Int] = {
+    centroids.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      val ct = centroids(c)
+      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      (d, c)
+    }.sortBy(t => (t._1, t._2)).take(n).map(_._2).toArray
+  }
+
+  /** IVF approximate top-k: corpus vectors live in their nearest-centroid
+    * bucket (the inverted file — ONE posting per vector, vs L postings for
+    * multi-table LSH); queries probe their `nprobe` nearest buckets. The
+    * bucket is the shuffle key; recall is the probability the true neighbor
+    * shares one of the probed cells. Standard IVF-flat.
+    */
+  def ivfTopK(df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val centroids = trainCentroids(df, nlist, dim)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    val probeUdf = udf((v: Seq[Float]) => rankedCentroids(v.toArray, bc.value, nprobe))
+    val corpus = df.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+      assignUdf(col("embedding")).as("cell"))
+    val queries = df.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+      explode(probeUdf(col("embedding"))).as("cell"))
+    val scored = queries.join(corpus, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("e_q"), col("e_c")).as("cos"))
+      // a (query, neighbor) pair can meet in at most one cell (corpus side
+      // is single-assigned), so no dedup needed before ranking
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
 }

@@ -147,6 +147,13 @@ class AnnOpsSpec extends SparkTestBase {
     val clusterTruth = truth.filter(_._1 < 120L)
     val recall = clusterTruth.count(approx.contains).toDouble / clusterTruth.size
     assert(recall >= 0.9, s"lsh recall@$k = $recall < 0.9")
+
+    // the IVF variant on the same planted data: cluster members land in the
+    // same coarse cell whp, so probing 4 of 16 cells must recover them
+    val ivf = AnnOps.ivfTopK(df, k, nlist = 16, nprobe = 4, dim = dim)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = clusterTruth.count(ivf.contains).toDouble / clusterTruth.size
+    assert(ivfRecall >= 0.9, s"ivf recall@$k = $ivfRecall < 0.9")
   }
 }
 

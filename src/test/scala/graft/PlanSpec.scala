@@ -55,6 +55,37 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in verify hot path:\n$plan")
   }
 
+  test("native fingerprint participates in whole-stage codegen (no regex, no UDF)") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [normalized_md5"), s"no codegen span:\n$plan")
+    assert(!plan.contains("regexp_replace") && !plan.toLowerCase.contains("scalaudf"),
+      s"fingerprint must be the native single-pass expression:\n$plan")
+  }
+
+  test("cursor-codec keyset predicate pushes to the parquet scan") {
+    import graft.ops.SearchCursor._
+    val cur = encode(Cursor(
+      Seq(SortField("o_totalprice", ascending = true), SortField("o_orderkey", ascending = true)),
+      Seq("d", "l"), Seq("5000.0", "0"), forward = true))
+    val plan = spark.read.parquet(s"$sf/orders.parquet")
+      .where(predicate(decode(cur)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"decoded cursor predicate must reach the scan:\n$plan")
+  }
+
+  test("six-weighting rollup plan is UDF-free with partial aggregation") {
+    val m = Seq((0L, 1L, 10L, 1L, 100L, 90, false, true, true))
+      .toDF("sample_id", "function_id", "binweight", "matched_family_id",
+        "matched_sample_id", "score", "is_library", "is_pichash", "is_minhash")
+    val plan = graft.ops.MatchReportOps.sixWeightingRollup(m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in rollup:\n$plan")
+    assert(plan.contains("partial"), s"aggregates must partial-combine map-side:\n$plan")
+  }
+
   test("small dimension joins broadcast (Catalyst stats/AQE)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val nation = spark.read.parquet(s"$sf/customer.parquet")
