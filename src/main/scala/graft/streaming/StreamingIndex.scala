@@ -56,4 +56,46 @@ object StreamingIndex {
       .agg(count(lit(1)).as("cnt"), max("value").as("max_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("cnt"), col("max_value"))
+
+  /** One output row per streamed doc: is it an exact duplicate of anything
+    * seen earlier on the stream? */
+  final case class DedupVerdict(url: String, doc_id: Long, is_dup: Boolean,
+      first_url: String)
+  /** Per-exact-hash state: the first url/doc_id that claimed this content. */
+  final case class FirstSeen(url: String, doc_id: Long)
+
+  /** Streaming EXACT dedup with custom state
+    * (`flatMapGroupsWithState`): docs are signed in-flight, grouped by the
+    * 128-bit exact identity, and each group keeps one `FirstSeen` state row —
+    * the first arrival wins, every later arrival is flagged as its duplicate.
+    * The streaming analog of the batch exact channel (V6/V7): state size is
+    * one row per DISTINCT document content, not per document.
+    */
+  def exactDedupStream(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default): Dataset[DedupVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    signatureStream(spark, docs, cfg)
+      .where(col("has_exact"))
+      .groupByKey(d => (d.exact_hash, d.exact_hash2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Long, Long), rows: Iterator[DocSig], state: GroupState[FirstSeen]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[DedupVerdict]
+          // deterministic within a batch: first-seen = min doc_id arrival
+          val batch = rows.toArray.sortBy(d => (d.doc_id, d.url))
+          var first = state.getOption
+          batch.foreach { d =>
+            first match {
+              case None =>
+                first = Some(FirstSeen(d.url, d.doc_id))
+                out += DedupVerdict(d.url, d.doc_id, is_dup = false, d.url)
+              case Some(f) =>
+                out += DedupVerdict(d.url, d.doc_id,
+                  is_dup = !(f.doc_id == d.doc_id && f.url == d.url), f.url)
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+        })
+  }
 }

@@ -284,6 +284,33 @@ class StreamingSpec extends SparkTestBase {
       batchBands.map(r => (r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("stateful streaming exact dedup: state survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("url", "text")
+    val verdicts = graft.streaming.StreamingIndex.exactDedupStream(spark, stream)
+    val q = verdicts.toDF().writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    val textA = (1 to 20).map(i => s"alpha$i beta$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"gamma$i delta$i").mkString(" ")
+    // batch 1: A original + in-batch dup of A; B original
+    mem.addData(("a1", textA), ("a2", textA), ("b1", textB))
+    q.processAllAvailable()
+    // batch 2: late dup of A (state must remember batch 1), new content C
+    val textC = (1 to 20).map(i => s"eps$i zeta$i").mkString(" ")
+    mem.addData(("a3", textA), ("c1", textC))
+    q.processAllAvailable()
+    val rows = spark.sql("select url, is_dup, first_url from dedup_stream").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    q.stop()
+    val firstA = rows.filter(_._2._2.startsWith("a")).values.head._2
+    assert(!rows("b1")._1 && !rows("c1")._1, "originals are not dups")
+    assert(rows.count { case (u, (d, _)) => u.startsWith("a") && !d } == 1,
+      "exactly one of the a-docs is the original")
+    assert(rows("a3")._1 && rows("a3")._2 == firstA,
+      "late duplicate must be flagged against batch-1 state")
+  }
+
   test("event-time window aggregation with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
