@@ -79,6 +79,8 @@ object SparkEntry {
         col("avg_token_len_x1000"), col("punct_ratio_x1000"))),
     "q_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextOps.fingerprint(col("text")).as("fp"))),
+    "q_subword" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "q_langid" -> ((s, dir) => TextOps.withLangId(docs(s, dir)).select("doc_id", "lang_pred")),
     "q_lang_dist" -> ((s, dir) => docs(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("cnt"))),
@@ -297,6 +299,11 @@ object SparkEntry {
         raw"CAST(floor(1000 * (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))) AS BIGINT) AS punct_ratio_x1000 " +
         "FROM documents"),
     "q_fingerprint" -> s"SELECT doc_id, $Fp AS fp FROM documents",
+    "q_subword" ->
+      (raw"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        raw"CAST(length(string_split_regex(trim(text), '\s+')) + " +
+        raw"length(regexp_replace(text, '\s', '', 'g')) // 6 AS BIGINT) END AS n_subwords " +
+        "FROM documents"),
     "q_para_hash" ->
       (raw"SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, " +
         raw"md5(regexp_replace(lower(trim(p)), '\s+', ' ', 'g')) AS para_hash FROM (" +

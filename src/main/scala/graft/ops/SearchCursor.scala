@@ -46,7 +46,8 @@ object SearchCursor {
     require(parts.nonEmpty && (parts.head == "F" || parts.head == "B"),
       "malformed cursor: missing direction")
     val entries = parts.tail.map { p =>
-      val fs = p.split(':')
+      // value (4th field) may itself contain ':' — bounded split
+      val fs = p.split(":", 4)
       require(fs.length == 4, s"malformed cursor entry: $p")
       (SortField(unesc(fs(0)), fs(1) == "a"), fs(2), unesc(fs(3)))
     }

@@ -91,6 +91,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkCombos guarantee: any pair within hamming blocks−keep shares a key") {
+    val r = rng(7)
+    for (_ <- 0 until Cases) {
+      val blocks = 4 + r.nextInt(5) // 4..8
+      val keep = 1 + r.nextInt(blocks - 1)
+      val guarantee = blocks - keep
+      val v = r.nextLong()
+      // flip exactly `guarantee` random distinct bits
+      val bits = r.ints(0, 64).distinct().limit(guarantee).toArray
+      val w = bits.foldLeft(v)((acc, b) => acc ^ (1L << b))
+      val kv = SimHash.chunkCombos(v, blocks, keep).toSet
+      val kw = SimHash.chunkCombos(w, blocks, keep).toSet
+      assert(kv.intersect(kw).nonEmpty,
+        s"blocks=$blocks keep=$keep flips=${bits.mkString(",")}")
+      // count: C(blocks, keep) keys
+      def choose(n: Int, k: Int): Long =
+        (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+      assert(kv.size <= choose(blocks, keep))
+    }
+  }
+
+  test("winnowing guarantee: shared run ≥ window+winnow−1 ⇒ shared anchor, any offsets") {
+    val r = rng(8)
+    for (_ <- 0 until Cases) {
+      val window = 4 + r.nextInt(20)
+      val winnow = 1 + r.nextInt(12)
+      val runLen = window + winnow - 1 + r.nextInt(10)
+      val run = Array.fill(runLen)(r.nextInt(1 << 30))
+      val offA = r.nextInt(200)
+      val offB = r.nextInt(200)
+      val docA = Array.fill(offA)(r.nextInt(1 << 30)) ++ run ++ Array.fill(r.nextInt(50))(r.nextInt(1 << 30))
+      val docB = Array.fill(offB)(r.nextInt(1 << 30)) ++ run ++ Array.fill(r.nextInt(50))(r.nextInt(1 << 30))
+      val aA = graft.substring.SubstringStage.anchors(docA, window, winnow).toSet
+      val aB = graft.substring.SubstringStage.anchors(docB, window, winnow).toSet
+      assert(aA.intersect(aB).nonEmpty, s"window=$window winnow=$winnow offA=$offA offB=$offB")
+    }
+  }
+
+  test("cursor codec round-trips arbitrary field names and values") {
+    import graft.ops.SearchCursor._
+    val r = rng(9)
+    val chars = "abc|%:=_ -/\\\"'"
+    def str(): String = (0 until 1 + r.nextInt(12)).map(_ => chars(r.nextInt(chars.length))).mkString
+    for (_ <- 0 until Cases) {
+      val n = 1 + r.nextInt(4)
+      val c = Cursor(
+        (0 until n).map(i => SortField("f" + i + str().filter(_.isLetter), r.nextBoolean())),
+        (0 until n).map(_ => Seq("l", "d", "s")(r.nextInt(3))),
+        (0 until n).map(_ => str()),
+        forward = r.nextBoolean())
+      assert(decode(encode(c)) == c)
+    }
+  }
+
   test("suffix-array longest common run: symmetric length, never exceeds inputs") {
     val r = rng(6)
     for (_ <- 0 until Cases) {
