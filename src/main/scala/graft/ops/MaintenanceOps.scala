@@ -27,6 +27,24 @@ object MaintenanceOps {
       bands.where(!col("doc_id").isInCollection(condemned)))
   }
 
+  /** L6 analog — full band-index rebuild from the signature checkpoint
+    * (≅ rebuildMinhashBandIndex, MemoryStorage.py:853-878, which drops all
+    * band collections and re-adds in packs): one explode over the persisted
+    * signature table, co-located on the band key for the probe layout
+    * (the Iceberg `band_id, bucket(band_hash)` partitioning analog). Used
+    * after a band-config change; the Ledger descriptor then differs, so
+    * stale candidate/verify checkpoints invalidate automatically.
+    */
+  def rebuildBandIndex(spark: SparkSession, signatures: DataFrame,
+      cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      numPartitions: Int = 0): DataFrame = {
+    val pipe = new graft.pipeline.DedupPipeline(spark, cfg)
+    val bands = pipe.bandStage(signatures.where(col("hashable")))
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    bands.repartition(n, col("band_id"), col("band_hash"))
+  }
+
   /** P2 analog — per-paragraph position-independent content hash:
     * (doc_id, para_idx, para_hash). The sub-document exact index that feeds
     * unique-block isolation and pair diffing.

@@ -152,6 +152,42 @@ class DedupPipelineSpec extends SparkTestBase {
     assert(out("s3") != out("s1"))
   }
 
+  test("non-default config matrix: XorAll strategy + jaccard verify + hot prefilter") {
+    import spark.implicits._
+    val near = (1 to 40).map(i => s"tok${('a' + i % 26).toChar}$i")
+    val rows = Seq(
+      ("u1", near.mkString(" ")),
+      ("u2", near.updated(5, "tweaked").mkString(" ")), // near-dup of u1
+      ("u3", (1 to 40).map(i => s"other${('a' + i % 26).toChar}$i").mkString(" ")))
+      .toDF("url", "text")
+    val cfg = graft.kernel.GraftConfig.default.copy(
+      strategy = graft.kernel.MinHashStrategy.XorAll)
+    val opts = PipelineOptions(jaccardVerify = true, hotBandPrefilter = true)
+    val out = new DedupPipeline(spark, cfg, opts).run(rows, fromHtml = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("u1") == out("u2"), "near-dups must cluster under XorAll+jaccard")
+    assert(out("u3") != out("u1"))
+    // HashAll strategy smoke: same clustering
+    val cfg2 = cfg.copy(strategy = graft.kernel.MinHashStrategy.HashAll)
+    val out2 = new DedupPipeline(spark, cfg2).run(rows, fromHtml = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2("u1") == out2("u2") && out2("u3") != out2("u1"))
+  }
+
+  test("minhash strategies: 64-slot deterministic signatures, distinct families") {
+    val t = graft.kernel.TextNorm.tokenize((1 to 50).map(i => s"w${('a' + i % 26).toChar}$i").mkString(" "))
+    val sigs = Seq(graft.kernel.MinHashStrategy.Segmented,
+      graft.kernel.MinHashStrategy.XorAll, graft.kernel.MinHashStrategy.HashAll).map { st =>
+      val m = new graft.kernel.MinHasher(graft.kernel.GraftConfig.default.copy(strategy = st))
+      val s1 = m.signatureBytes(t)
+      assert(s1.length == 64)
+      assert(s1.toSeq == m.signatureBytes(t).toSeq, s"$st not deterministic")
+      assert(graft.kernel.MinHasher.score(s1, s1) == 100.0)
+      s1.toSeq
+    }
+    assert(sigs.distinct.size == 3, "strategies must be distinct hash families")
+  }
+
   test("hot-band prefilter: identical pairs, hot keys dropped before the shuffle") {
     import spark.implicits._
     // one mega-hot band key (600 members > cap 500) + small cold groups

@@ -73,6 +73,20 @@ class MaintenanceSpec extends SparkTestBase {
     assert(fresh.select("url").as[String].collect().toSeq == Seq("u3"))
   }
 
+  test("band-index rebuild reproduces the pipeline's band table exactly") {
+    val docs = Seq(
+      ("u1", (1 to 40).map(i => s"ra${('a' + i % 26).toChar}$i").mkString(" ")),
+      ("u2", (1 to 40).map(i => s"rb${('a' + i % 26).toChar}$i").mkString(" ")))
+      .toDF("url", "text")
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF().cache()
+    val direct = pipe.bandStage(sigs.where(col("hashable"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val rebuilt = MaintenanceOps.rebuildBandIndex(spark, sigs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(rebuilt == direct)
+  }
+
   test("delete cascades through signature and band tables") {
     val sigs = Seq((1L, "u1"), (2L, "u2")).toDF("doc_id", "url")
     val bands = Seq((0, 10L, 1L), (0, 10L, 2L), (1, 11L, 1L))
