@@ -336,8 +336,8 @@ object SparkEntry {
         "WHERE o_totalprice > 5000.0 OR (o_totalprice = 5000.0 AND o_orderkey > 0) " +
         "ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 20"),
     "q_freq_penalty" ->
-      ("SELECT o_custkey, n, CASE WHEN n < 3 THEN 1 WHEN n < 4 THEN 2 WHEN n < 8 THEN 3 " +
-        "WHEN n < 16 THEN 4 WHEN n < 32 THEN 5 WHEN n < 64 THEN 6 WHEN n < 128 THEN 7 ELSE 8 END AS adjustment " +
+      ("SELECT o_custkey, n, CASE WHEN n < 3 THEN 1 " +
+        "ELSE CAST(least(length(bin(CAST(n AS BIGINT))), 12) AS INT) END AS adjustment " +
         "FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)"),
     "q_event_window" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, " +
@@ -352,8 +352,8 @@ object SparkEntry {
         ") po ON li.l_partkey = po.l_partkey) GROUP BY l_orderkey"),
     "q_sixweight" -> (MatchesCte +
       ", fam AS (SELECT function_id, count(DISTINCT matched_family_id) AS nf FROM m GROUP BY 1), " +
-      "adj AS (SELECT function_id, CASE WHEN nf < 3 THEN 1 WHEN nf < 4 THEN 2 WHEN nf < 8 THEN 3 " +
-      "WHEN nf < 16 THEN 4 WHEN nf < 32 THEN 5 WHEN nf < 64 THEN 6 WHEN nf < 128 THEN 7 ELSE 8 END AS adjustment FROM fam), " +
+      "adj AS (SELECT function_id, CASE WHEN nf < 3 THEN 1 " +
+      "ELSE CAST(least(length(bin(CAST(nf AS BIGINT))), 12) AS INT) END AS adjustment FROM fam), " +
       "best AS (SELECT m.function_id, matched_sample_id, max(score) AS score, " +
       "any_value(binweight) AS binweight, any_value(adjustment) AS adjustment, " +
       "max(CASE WHEN is_pichash THEN 1 ELSE 0 END) AS is_pic, " +
@@ -364,10 +364,10 @@ object SparkEntry {
       "CAST(sum(is_pic) AS BIGINT) AS n_pic, CAST(sum(is_min) AS BIGINT) AS n_min, " +
       "CAST(sum(binweight) AS BIGINT) AS bytes_all, " +
       "CAST(sum(binweight * score) AS DOUBLE) / 100.0 AS bytes_score_all, " +
-      "CAST(sum((binweight * score * 840) // adjustment) AS DOUBLE) / 84000.0 AS bytes_freq_all, " +
+      "CAST(sum((binweight * score * 27720) // adjustment) AS DOUBLE) / 2772000.0 AS bytes_freq_all, " +
       "CAST(sum(CASE WHEN is_lib = 0 THEN binweight ELSE 0 END) AS BIGINT) AS bytes_nonlib, " +
       "CAST(sum(CASE WHEN is_lib = 0 THEN binweight * score ELSE 0 END) AS DOUBLE) / 100.0 AS bytes_score_nonlib, " +
-      "CAST(sum(CASE WHEN is_lib = 0 THEN (binweight * score * 840) // adjustment ELSE 0 END) AS DOUBLE) / 84000.0 AS bytes_freq_nonlib " +
+      "CAST(sum(CASE WHEN is_lib = 0 THEN (binweight * score * 27720) // adjustment ELSE 0 END) AS DOUBLE) / 2772000.0 AS bytes_freq_nonlib " +
       "FROM best GROUP BY matched_sample_id"),
     "q_match_filters" -> (MatchesCte +
       ", nolib AS (SELECT * FROM m WHERE function_id NOT IN " +

@@ -22,17 +22,31 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Size-adaptive cutover: below this many (deduped) edges the component
-    * computation runs as a driver-side union-find — a handful of MB on the
-    * driver versus ~30 scheduled shuffle stages for the star loop, which at
-    * small edge counts is pure stage-latency (the reference's clustering is
-    * driver-side DFS for the same reason). Above it, the distributed
-    * star-contraction loop runs. Identical output either way (asserted by
-    * test on both paths).
+    * computation runs as a driver-side union-find versus ~30 scheduled
+    * shuffle stages for the star loop, which at small edge counts is pure
+    * stage-latency (the reference's clustering is driver-side DFS for the
+    * same reason). Above it, the distributed star-contraction loop runs.
+    * Identical output either way (asserted by test on both paths).
+    *
+    * Driver memory cost is REAL, not a handful of MB: collected boxed
+    * (Long,Long) tuples plus two HashMaps cost roughly 200–400 bytes per
+    * edge, so 3M edges occupy several hundred MB of driver heap. The
+    * ceiling below is therefore gated on the actual driver heap via
+    * `effectiveDriverThreshold` (≈ heap/4 ÷ 512 B/edge): a default-1g
+    * cluster driver cuts over at ~500k edges, an 8g bench driver keeps the
+    * full 3M.
     */
   val DriverEdgeThreshold: Long = 3000000L
 
+  /** min(cap, quarter of driver heap at a conservative 512 bytes/edge). */
+  def effectiveDriverThreshold(cap: Long = DriverEdgeThreshold): Long =
+    math.min(cap, Runtime.getRuntime.maxMemory() / 4 / 512)
+
   def run(edgesIn: DataFrame, maxIterations: Int = 25,
-      driverThreshold: Long = DriverEdgeThreshold): DataFrame = {
+      driverThreshold: Long = -1L): DataFrame = {
+    val driverEdgeCap =
+      if (driverThreshold >= 0) driverThreshold
+      else effectiveDriverThreshold()
     val spark = edgesIn.sparkSession
     // canonical undirected edges, self-loops dropped. NOT deduped yet: the
     // driver path's union-find dedupes for free, so the distinct shuffle is
@@ -45,7 +59,7 @@ object ConnectedComponents {
       .cache() // materialize upstream (verify etc.) exactly once
 
     val nEdges = canonical.count()
-    if (nEdges <= driverThreshold) {
+    if (nEdges <= driverEdgeCap) {
       val result = runDriver(spark, canonical)
       canonical.unpersist()
       return result
@@ -81,9 +95,14 @@ object ConnectedComponents {
       iter += 1
     }
     // the checksum fixpoint is probabilistic — back it with ONE exact
-    // compare at the claimed fixpoint (cheap: a single except at the end,
-    // not per round); silently-wrong labels are never acceptable
-    if (converged && edges.exceptAll(prevDf).limit(1).count() > 0)
+    // SYMMETRIC compare at the claimed fixpoint (cheap: two excepts at the
+    // end, not per round); silently-wrong labels are never acceptable.
+    // (Counts are already exactly equal at convergence — count(*) is part of
+    // the checksum tuple — so one direction plus equal counts implies
+    // multiset equality; the second except makes the confirmation robust to
+    // future checksum changes rather than relying on that reasoning.)
+    if (converged && (edges.exceptAll(prevDf).limit(1).count() > 0 ||
+        prevDf.exceptAll(edges).limit(1).count() > 0))
       throw new IllegalStateException(
         "connected components: checksum fixpoint was a collision (edge sets differ)")
     if (!converged)

@@ -61,9 +61,23 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
   private def recordMetrics(name: String, desc: String, p: String, wallMs: Double): Unit = {
     try {
       val out = spark.read.parquet(p)
+      // run_id ties each lineage set to its summary row: the same descriptor
+      // can legitimately be recomputed (stage dir deleted, re-run) and both
+      // tables are append-only
+      val runId = java.util.UUID.randomUUID().toString
+      // TRUE per-partition lineage (north_rule): one row per output partition
+      // with its row count — cached so the summary below reuses the same scan
       val perPartition = out
         .withColumn("part_id", spark_partition_id())
         .groupBy("part_id").agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit(name))
+        .withColumn("descriptor", lit(desc))
+        .withColumn("config_hash", lit(configHash))
+        .withColumn("run_id", lit(runId))
+        .withColumn("ts", current_timestamp())
+        .cache()
+      perPartition.write.mode("append").parquet(s"$root/_lineage")
+      val summary = perPartition
         .agg(
           sum("rows").as("rows"),
           count(lit(1)).as("num_partitions"),
@@ -72,12 +86,21 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
         .withColumn("stage", lit(name))
         .withColumn("descriptor", lit(desc))
         .withColumn("config_hash", lit(configHash))
+        .withColumn("run_id", lit(runId))
         .withColumn("wall_ms", lit(wallMs))
         .withColumn("ts", current_timestamp())
-      perPartition.write.mode("append").parquet(s"$root/_metrics")
+      summary.write.mode("append").parquet(s"$root/_metrics")
+      perPartition.unpersist()
     } catch { case _: Throwable => () } // metrics are best-effort
   }
 
   def metrics(): Option[DataFrame] =
     if (fsExists(s"$root/_metrics")) Some(spark.read.parquet(s"$root/_metrics")) else None
+
+  /** Per-partition lineage rows: (part_id, rows, stage, descriptor,
+    * config_hash, ts) — one row per output partition of every materialized
+    * stage (the per-partition channel the aggregated `metrics()` summarizes).
+    */
+  def partitionMetrics(): Option[DataFrame] =
+    if (fsExists(s"$root/_lineage")) Some(spark.read.parquet(s"$root/_lineage")) else None
 }

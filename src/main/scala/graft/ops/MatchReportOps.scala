@@ -20,21 +20,28 @@ import org.apache.spark.sql.expressions.Window
 object MatchReportOps {
 
   /** A2 frequency penalty: 1 if a function matched < 3 families, else
-    * 1 + floor(log2(n)) — integer-threshold form (engine-exact, no float
-    * log), ≅ MatcherInterface._get_family_adjustment.
+    * 1 + floor(log2(n)) — computed as the bit length of n (`length(bin(n))`),
+    * which is engine-exact integer arithmetic (no float log) and follows the
+    * reference's UNBOUNDED ladder (9 at 256 families, 10 at 512, …) instead
+    * of the old hard cap of 8 at 128. ≅ MatcherInterface._get_family_adjustment
+    * (/root/reference/mcrit/matchers/MatcherInterface.py:435-441).
+    * The only remaining clamp is 12 (binds from 4096 distinct families per
+    * function) so the exact integer scaling below stays within `AdjLcm`;
+    * beyond that the penalty saturates — documented deviation.
     */
   def familyAdjustment(nFamilies: Column): Column =
-    when(nFamilies < 3, 1)
-      .when(nFamilies < 4, 2).when(nFamilies < 8, 3).when(nFamilies < 16, 4)
-      .when(nFamilies < 32, 5).when(nFamilies < 64, 6).when(nFamilies < 128, 7)
-      .otherwise(8)
+    when(nFamilies < 3, lit(1))
+      .otherwise(least(length(bin(nFamilies.cast("long"))), lit(12)).cast("int"))
 
-  /** least common multiple of the adjustment range {1..8}: weighted sums are
-    * computed as exact integer sums of binweight·score·840/adjustment and
+  /** least common multiple of the adjustment range {1..12}: weighted sums are
+    * computed as exact integer sums of binweight·score·27720/adjustment and
     * divided back out only at the end — one deterministic double division
-    * instead of an order-sensitive float sum.
+    * instead of an order-sensitive float sum. Overflow headroom: a row
+    * contributes ≤ binweight·100·27720 ≈ 2.8e12 at binweight 1e6, so a
+    * single sample overflows Long only past ~3×10^6 matched functions —
+    * far beyond the data model.
     */
-  private val AdjLcm = 840L
+  private val AdjLcm = 27720L
 
   /** A3 analog — per matched sample, matched bytes under the 6 weightings
     * (unweighted / score-weighted / frequency-weighted) × (all / nonlib),
@@ -65,7 +72,7 @@ object MatchReportOps {
     // integer DIV (not `/`, which is double in Spark SQL): 840 is divisible
     // by every adjustment in {1..8}, so this stays exact
     val freqWeighted = expr(
-      "(CAST(binweight AS BIGINT) * CAST(score AS BIGINT) * 840) DIV CAST(adjustment AS BIGINT)")
+      "(CAST(binweight AS BIGINT) * CAST(score AS BIGINT) * 27720) DIV CAST(adjustment AS BIGINT)")
     val nonlib = col("is_lib") === 0
 
     best.groupBy("matched_sample_id")

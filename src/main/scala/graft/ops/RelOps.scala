@@ -69,16 +69,13 @@ object RelOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
   /** A2 analog: family-frequency penalty `1 if n<3 else 1+floor(log2 n)`,
-    * expressed with integer thresholds (engine-exact, no float log).
+    * expressed as integer bit length (engine-exact, no float log) — shares
+    * MatchReportOps.familyAdjustment's unbounded ladder.
     */
   def frequencyPenalty(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir, "orders").groupBy("o_custkey")
       .agg(count(lit(1)).as("n"))
-    counts.withColumn("adjustment",
-      when(col("n") < 3, 1)
-        .when(col("n") < 4, 2).when(col("n") < 8, 3).when(col("n") < 16, 4)
-        .when(col("n") < 32, 5).when(col("n") < 64, 6).when(col("n") < 128, 7)
-        .otherwise(8))
+    counts.withColumn("adjustment", MatchReportOps.familyAdjustment(col("n")))
   }
 
   /** Windowed event aggregation (tumbling processing-hour) over `events`. */

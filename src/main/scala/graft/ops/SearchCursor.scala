@@ -29,8 +29,13 @@ object SearchCursor {
 
   // ---- codec -----------------------------------------------------------
 
-  private def esc(s: String): String = s.replace("%", "%25").replace("|", "%7C")
-  private def unesc(s: String): String = s.replace("%7C", "|").replace("%25", "%")
+  // ':' must be escaped too: it is the entry separator, and while values are
+  // protected by decode's bounded split(":", 4), FIELD NAMES are not — an
+  // unescaped ':' in a field name would shift every later field over.
+  private def esc(s: String): String =
+    s.replace("%", "%25").replace("|", "%7C").replace(":", "%3A")
+  private def unesc(s: String): String =
+    s.replace("%7C", "|").replace("%3A", ":").replace("%25", "%")
 
   def encode(c: Cursor): String = {
     val body = (Seq(if (c.forward) "F" else "B") ++

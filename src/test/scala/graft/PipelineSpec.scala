@@ -266,5 +266,15 @@ class ResumeSpec extends SparkTestBase {
 
     val l = new graft.ledger.Ledger(spark, tmp, cfg.configHash)
     assert(l.metrics().exists(_.count() > 0), "metrics table must have stage rows")
+    // per-partition lineage: every materialized stage contributes one row per
+    // output partition, and their per-stage sums equal the summary row counts
+    val lineage = l.partitionMetrics().getOrElse(fail("no _lineage table"))
+    assert(lineage.count() > 0, "lineage table must have per-partition rows")
+    val mismatch = lineage.groupBy("stage", "descriptor", "run_id")
+      .agg(org.apache.spark.sql.functions.sum("rows").as("lrows"))
+      .join(l.metrics().get.select(col("stage"), col("descriptor"), col("run_id"), col("rows")),
+        Seq("stage", "descriptor", "run_id"))
+      .where(col("lrows") =!= col("rows"))
+    assert(mismatch.count() == 0, "per-partition lineage must sum to the stage row counts")
   }
 }

@@ -137,7 +137,9 @@ class PropertySpec extends AnyFunSuite {
     for (_ <- 0 until Cases) {
       val n = 1 + r.nextInt(4)
       val c = Cursor(
-        (0 until n).map(i => SortField("f" + i + str().filter(_.isLetter), r.nextBoolean())),
+        // field names draw from the FULL adversarial alphabet (incl. ':' '|'
+        // '%'), same as values — the codec must escape them symmetrically
+        (0 until n).map(i => SortField("f" + i + str(), r.nextBoolean())),
         (0 until n).map(_ => Seq("l", "d", "s")(r.nextInt(3))),
         (0 until n).map(_ => str()),
         forward = r.nextBoolean())
