@@ -45,6 +45,36 @@ object AnnOps {
     (h.toDouble / 2147483648.0) - 1.0
   }
 
+  /** The full hyperplane tensor (tables × planes × dim) — tiny (≤ ~60 KB at
+    * the defaults), built once on the driver and broadcast to the kernel.
+    */
+  private[graft] def planeTensor(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, planes, dim)((t, p, i) => planeComponent(t, p, i))
+
+  /** Bit-exact replica of the Catalyst HOF cosine above (float products,
+    * double accumulation in index order, same epsilon) as a tight JVM loop —
+    * used for candidate scoring where the HOF form would re-interpret the
+    * lambda per element. Keep the two in sync: fixtures and the recall
+    * assertions depend on them agreeing bitwise.
+    */
+  private[graft] def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += (a(i) * b(i)).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += (a(i) * a(i)).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += (b(i) * b(i)).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+  }
+
+  /** Codegen-friendly scalar form of `cosineKernel` for joined pairs. */
+  private def cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+    cosineKernel(a.toArray, b.toArray))
+
   /** Multi-table sign-LSH banding: `tables` independent hyperplane tables of
     * `planes` sign bits each → (band_id, band_hash, doc_id) rows, exactly
     * the text-LSH band-table shape. A single wide table (the old design)
@@ -52,20 +82,40 @@ object AnnOps {
     * 10^9 vectors one bucket holds ~10^7 rows → ~10^13 pairs. Multiple
     * narrower tables trade that for L·n postings with per-bucket caps and a
     * recall knob: P(collide in ≥1 table) = 1 − (1 − (1 − θ/π)^planes)^tables.
+    *
+    * Computed by a typed mapPartitions kernel over a broadcast plane tensor
+    * (the `signatureStage` pattern): the earlier declarative form expanded
+    * the tensor into ~tables·planes·dim literal expression terms in one
+    * projection — per-row interpretive bloat that cost ~10× on the widest
+    * stage. Sign math is bit-identical (float·double products accumulated
+    * in index order), so outputs are unchanged.
     */
   def bandTable(df: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame = {
-    // hyperplane tensor is tiny (tables × planes × dim) → literals, codegen'd
-    val tableCols = (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val comps = array((0 until dim).map(i => lit(planeComponent(t, p, i))): _*)
-        val dot = aggregate(zip_with(col("embedding"), comps, (x, y) => x * y),
-          lit(0.0d), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(planeTensor(tables, planes, dim))
+    df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val tensor = bc.value
+        it.flatMap { case (id, emb) =>
+          (0 until tables).iterator.map { t =>
+            val planesT = tensor(t)
+            var hash = 0L
+            var p = 0
+            while (p < planes) {
+              val comps = planesT(p)
+              val n = math.min(emb.length, dim)
+              var dot = 0.0
+              var i = 0
+              while (i < n) { dot += emb(i).toDouble * comps(i); i += 1 }
+              if (dot >= 0) hash |= (1L << p)
+              p += 1
+            }
+            (id, t, hash)
+          }
+        }
       }
-      bits.reduce(_ + _)
-    }
-    df.select(col("vec_id").as("doc_id"),
-      posexplode(array(tableCols: _*)).as(Seq("band_id", "band_hash")))
+      .toDF("doc_id", "band_id", "band_hash")
   }
 
   /** Candidate pairs from the multi-table banding, bucket-capped through the
@@ -95,7 +145,7 @@ object AnnOps {
       .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
       .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
       .select(col("a").as("query_id"), col("b").as("neighbor_id"),
-        cosine(col("e_a"), col("e_b")).as("cos"))
+        cosUdf(col("e_a"), col("e_b")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -112,7 +162,7 @@ object AnnOps {
     cand
       .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
       .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
-      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .withColumn("cos", cosUdf(col("e_a"), col("e_b")))
       .where(col("cos") >= threshold)
       .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"), col("cos"))
   }
@@ -195,7 +245,7 @@ object AnnOps {
       explode(probeUdf(col("embedding"))).as("cell"))
     val scored = queries.join(corpus, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("e_q"), col("e_c")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), cosUdf(col("e_q"), col("e_c")).as("cos"))
       // a (query, neighbor) pair can meet in at most one cell (corpus side
       // is single-assigned), so no dedup needed before ranking
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

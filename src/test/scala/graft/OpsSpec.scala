@@ -155,6 +155,47 @@ class AnnOpsSpec extends SparkTestBase {
     val ivfRecall = clusterTruth.count(ivf.contains).toDouble / clusterTruth.size
     assert(ivfRecall >= 0.9, s"ivf recall@$k = $ivfRecall < 0.9")
   }
+
+  test("cosineKernel is bitwise-identical to the Catalyst HOF cosine") {
+    // the typed scoring kernel must replicate the declarative form exactly
+    // (float products, double accumulation in index order) — fixtures and
+    // rank ties depend on bit equality, not approximate equality
+    val r = new java.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)((r.nextFloat() - 0.5f) * (1 + r.nextInt(5))),
+        Array.fill(64)((r.nextFloat() - 0.5f) * (1 + r.nextInt(5))))
+    }.toDF("id", "a", "b")
+    val hof = rows.select(col("id"), AnnOps.cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val kern = rows.as[(Long, Array[Float], Array[Float])].collect()
+      .map { case (id, a, b) => id -> AnnOps.cosineKernel(a, b) }.toMap
+    for ((id, c) <- hof)
+      assert(java.lang.Double.doubleToRawLongBits(c) ==
+        java.lang.Double.doubleToRawLongBits(kern(id)), s"id=$id $c vs ${kern(id)}")
+  }
+
+  test("mapPartitions band kernel matches the declarative literal-plane construction") {
+    // independent re-derivation of the banding math in Catalyst HOF form —
+    // guards the kernel against drift in plane values or sign handling
+    val (tables, planes, dim) = (3, 5, 8)
+    val rows = (1 to 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val tensor = AnnOps.planeTensor(tables, planes, dim)
+    val tableCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val comps = array((0 until dim).map(i => lit(tensor(t)(p)(i))): _*)
+        val dot = aggregate(zip_with(col("embedding"), comps, (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val declarative = rows.select(col("vec_id").as("doc_id"),
+        posexplode(array(tableCols: _*)).as(Seq("band_id", "band_hash")))
+      .as[(Long, Int, Long)].collect().toSet
+    val kernel = AnnOps.bandTable(rows, tables, planes, dim)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(kernel == declarative)
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
