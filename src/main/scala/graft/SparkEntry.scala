@@ -136,11 +136,19 @@ object SparkEntry {
     }),
     "q_query_match" -> ((s, dir) => {
       val d = docs(s, dir)
-      // query = text of doc 0 → must match itself (and any near-dups)
+      // query = text of doc 0 → must match itself (and any near-dups).
+      // The flagship path: sign/band the corpus ONCE per sf dir into a
+      // ledger-persisted index, then probe it — never re-sign the corpus
+      // per query (the reference probes its stored band index the same way).
       val queryText = d.where(col("doc_id") === 0).select("text")
         .collect()(0).getString(0)
-      QueryMatch.topMatches(s, d.select(
-        concat(lit("id-"), col("doc_id")).as("url"), col("text")), queryText, k = 10)
+      val cfg = graft.kernel.GraftConfig.default
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val ledger = new graft.ledger.Ledger(s, s"/tmp/graft-qm-index-$tag", cfg.configHash)
+      val (sigs, bands) = QueryMatch.buildOrLoadIndex(
+        s, d.select(concat(lit("id-"), col("doc_id")).as("url"), col("text")),
+        ledger, corpusTag = tag, cfg)
+      QueryMatch.topMatchesFromIndex(s, sigs, bands, queryText, k = 10)
     }),
     "q_para_hash" -> ((s, dir) => MaintenanceOps.paragraphHashes(docs(s, dir))),
     // ---- relational analogs (A1-A3/V4/F1-F7) ----

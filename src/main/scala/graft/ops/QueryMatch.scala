@@ -41,6 +41,35 @@ object QueryMatch {
     topMatchesFromIndex(spark, sigs, bands, queryText, k, cfg, requireBands)
   }
 
+  /** Bump when a kernel change intentionally alters signature/band outputs:
+    * it salts the ledger descriptors below so persisted indexes from an older
+    * kernel are rebuilt instead of silently probed.
+    */
+  val IndexVersion = 3
+
+  /** Build — or resume from the checkpoint ledger — the persisted
+    * signature/band index for a corpus, returning both tables read back from
+    * their materialized parquet. This is the scale-correct prefix for
+    * `topMatchesFromIndex`: the corpus is signed at most ONCE per
+    * (corpus, config, kernel version); every subsequent query probes the
+    * stored band table exactly like the reference probes its Mongo band
+    * index (/root/reference/mcrit/matchers/MatcherQuery.py:19-52).
+    */
+  def buildOrLoadIndex(spark: SparkSession, docs: => DataFrame, ledger: graft.ledger.Ledger,
+      corpusTag: String, cfg: GraftConfig = GraftConfig.default): (DataFrame, DataFrame) = {
+    val params = s"v=$IndexVersion,corpus=$corpusTag"
+    val sigDesc = ledger.descriptor("qm_sigs", params, Nil)
+    val sigs = ledger.stage("qm_sigs", sigDesc) {
+      val pipe = new DedupPipeline(spark, cfg)
+      pipe.signatureStage(pipe.extractStage(docs, fromHtml = false))
+        .toDF().where(col("hashable"))
+    }
+    val bands = ledger.stage("qm_bands", ledger.descriptor("qm_bands", params, Seq(sigDesc))) {
+      new DedupPipeline(spark, cfg).bandStage(sigs)
+    }
+    (sigs, bands)
+  }
+
   /** Top-k corpus matches probing a prebuilt index: `sigs` and `bands` are
     * the persisted signature/band tables (Ledger stage outputs). The probe
     * is 20 broadcast point-lookups on (band_id, band_hash) — pushed into the

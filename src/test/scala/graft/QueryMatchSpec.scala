@@ -61,6 +61,30 @@ class QueryMatchSpec extends SparkTestBase {
     assert(rows.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
       direct.map(r => (r.getString(0), r.getDouble(2))).toSeq)
   }
+
+  test("ledger index: second query never touches the corpus (no re-sign job)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qledger").toString
+    val cfg = graft.kernel.GraftConfig.default
+    val ledger = new graft.ledger.Ledger(spark, tmp, cfg.configHash)
+    val docs = corpusRows.toDF("url", "text")
+    val query = (1 to 50).map(i => w("alpha", i)).mkString(" ")
+
+    val (s1, b1) = QueryMatch.buildOrLoadIndex(spark, docs, ledger, corpusTag = "t", cfg)
+    val first = QueryMatch.topMatchesFromIndex(spark, s1, b1, query, k = 5).collect()
+    assert(first.nonEmpty && first.head.getString(0) == "u1")
+
+    // poisoned corpus: ANY evaluation of it explodes. With the index
+    // committed, buildOrLoadIndex must resume from parquet and the probe
+    // must run zero jobs over the corpus — this is the reference behavior
+    // (MatcherQuery probes the stored band index, never re-signs).
+    val boom = udf(() => { sys.error("corpus was re-signed"); "" })
+    val poisoned = spark.range(1).select(boom().as("url"), boom().as("text"))
+    val (s2, b2) = QueryMatch.buildOrLoadIndex(spark, poisoned, ledger, corpusTag = "t", cfg)
+    val second = QueryMatch.topMatchesFromIndex(spark, s2, b2, query, k = 5).collect()
+    assert(second.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      first.map(r => (r.getString(0), r.getDouble(2))).toSeq,
+      "resumed index must answer identically")
+  }
 }
 
 class MaintenanceSpec extends SparkTestBase {
