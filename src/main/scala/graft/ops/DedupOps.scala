@@ -84,7 +84,18 @@ object DedupOps {
   /** Exact n-gram Jaccard near-dup pairs: inverted-index join on shingles
     * (each doc's distinct k-grams exploded; pairs sharing enough shingles are
     * scored exactly). Scale note: shingle postings are the shuffle key; hot
-    * shingles capped like band groups.
+    * shingles (df > maxPostings — stopword/boilerplate grams) are excluded
+    * from the quadratic postings join like LSH stop-bands, but the score
+    * stays EXACT: each doc carries its (small) sorted set of hot shingles,
+    * and a pair's hot-side intersection is recomputed per candidate with
+    * array_intersect, so |A∩B| = inter_cold + inter_hot exactly. (The old
+    * form dropped hot shingles from the numerator but not the denominator —
+    * a silent underestimate biased exactly against boilerplate-heavy pairs.)
+    *
+    * Residual by design: a pair whose ENTIRE overlap is hot shingles is
+    * never discovered — that is the stop-shingle policy itself (such overlap
+    * is corpus-wide boilerplate, and scoring it would need the quadratic
+    * join the cap exists to prevent).
     */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
       k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame = {
@@ -105,13 +116,27 @@ object DedupOps {
     // cap hot shingles (stopword grams) — same stop-band policy as LSH
     val hot = postings.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > maxPostings)
     val cold = postings.join(hot.select("sh"), Seq("sh"), "left_anti")
+    // per-doc hot-shingle sets: bounded by the number of DISTINCT hot
+    // shingles a doc contains (tiny — global hot count ≤ totalPostings /
+    // maxPostings), grouped on the same doc_id key the pair rollup uses
+    val hotPerDoc = postings.join(hot.select("sh"), Seq("sh"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("hot_set"))
     val inter = cold.as("x").join(cold.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
         col("x.set_size").as("size_a"), col("y.set_size").as("size_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter.withColumn("jaccard",
-        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .agg(count(lit(1)).as("inter_cold"))
+    val withHot = inter
+      .join(hotPerDoc.select(col("doc_id").as("doc_id_a"), col("hot_set").as("hot_a")),
+        Seq("doc_id_a"), "left")
+      .join(hotPerDoc.select(col("doc_id").as("doc_id_b"), col("hot_set").as("hot_b")),
+        Seq("doc_id_b"), "left")
+      .withColumn("inter_hot",
+        when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+          .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
+    withHot.withColumn("jaccard",
+        (col("inter_cold") + col("inter_hot")).cast("double") /
+          (col("size_a") + col("size_b") - col("inter_cold") - col("inter_hot")))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

@@ -35,7 +35,14 @@ import graft.ledger.Ledger
 final case class PipelineOptions(
     maxBandGroupSize: Int = 500,
     simHashChannel: Boolean = true,
-    simHashMaxHamming: Int = 3,
+    // the banding below GUARANTEES this radius (chunk tables are derived
+    // from it): maxHamming+2 blocks, all C(blocks,2) chunk-pair tables.
+    // Default 2, the widest radius whose ~32-bit keys keep average bucket
+    // size under the stop-band cap at the 10^12-doc design point (radius 3
+    // needs 5 blocks → ~25.6-bit keys → every bucket over cap at 10^12;
+    // settable for smaller corpora, and hamming-3 near-identicals are
+    // covered by the MinHash channel regardless)
+    simHashMaxHamming: Int = 2,
     // simhash-rescued pairs (hamming ≤ max but minhash score ≤ threshold)
     // must still clear this signature-score floor — guards precision when a
     // corpus is boilerplate-heavy and simhash bit-majorities collapse
@@ -215,32 +222,23 @@ final class DedupPipeline(
     repSigs.select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
   }
 
-  /** SimHash banding: C(4,2)=6 tables keyed by PAIRS of 16-bit chunks
-    * (32-bit keys). A single 16-bit chunk key collides randomly at ~n²/2^17
-    * pairs — measured as millions of junk candidates at 300k docs — while
-    * chunk pairs collide at ~n²/2^33 and still guarantee a hit for any pair
-    * within Hamming distance 2 (≤2 flipped chunks leave ≥2 intact ⇒ some
-    * intact pair); Hamming-3 near-identicals are covered by MinHash anyway.
+  /** SimHash banding: chunk-pair tables DERIVED from the configured Hamming
+    * radius, so the structural guarantee always matches the verify gate:
+    * blocks = simHashMaxHamming + 2 equal-ish chunks, one table per
+    * C(blocks, 2) chunk pair — ≤ maxHamming flips leave ≥ 2 chunks intact,
+    * hence some intact pair (the same derivation `phashDupPairs` uses).
+    * At the default radius 2 that is C(4,2)=6 tables of paired 16-bit
+    * chunks: single-chunk keys collide randomly at ~n²/2^17 pairs (measured
+    * as millions of junk candidates at 300k docs), chunk PAIRS at ~n²/2^33.
+    * Raising the radius buys guarantee at the price of key entropy
+    * (radius 3 → 5 blocks → ~25.6-bit keys), which the stop-band cap then
+    * bounds — see the PipelineOptions note.
     */
   def simhashBandStage(repSigs: DataFrame): DataFrame = {
-    val chunkPairsUdf = udf((v: Long) => {
-      val c = SimHash.chunks16(v)
-      val out = new Array[Long](6)
-      var t = 0
-      var i = 0
-      while (i < 4) {
-        var j = i + 1
-        while (j < 4) {
-          out(t) = c(i).toLong | (c(j).toLong << 16)
-          t += 1
-          j += 1
-        }
-        i += 1
-      }
-      out
-    })
+    val blocks = opts.simHashMaxHamming + 2
+    val combosUdf = udf((v: Long) => SimHash.chunkCombos(v, blocks, 2))
     repSigs.select(col("doc_id"),
-        posexplode(chunkPairsUdf(col("simhash"))).as(Seq("band_id", "band_hash")))
+        posexplode(combosUdf(col("simhash"))).as(Seq("band_id", "band_hash")))
       .select(col("doc_id"),
         (col("band_id") + lit(100)).as("band_id"), // disjoint id space vs minhash bands
         col("band_hash"))

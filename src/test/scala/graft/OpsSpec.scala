@@ -98,6 +98,40 @@ class TextOpsSpec extends SparkTestBase {
   }
 }
 
+class DedupOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("capped n-gram Jaccard stays EXACT when hot shingles are excluded") {
+    // 'boiler' appears in docs 1..5 → with maxPostings=2 all its internal
+    // 3-gram windows are hot (df=5>2) and leave the postings join; the
+    // per-doc hot sets must add their intersections back so scores equal
+    // the uncapped exact Jaccard
+    val boiler = "the quick brown fox jumps over"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (3L, s"$boiler eta theta iota kappa lambda mu"),
+      (4L, s"$boiler eta theta iota kappa lambda nu"),
+      (5L, boiler),
+      (6L, "completely different content about other things entirely here")
+    ).toDF("doc_id", "text")
+    def run(maxPostings: Int) =
+      DedupOps.ngramJaccardPairs(spark, docs, threshold = 0.45, maxPostings = maxPostings)
+        .as[(Long, Long, Double)].collect().toSet
+    val capped = run(2)
+    val exact = run(Int.MaxValue)
+    assert(capped == exact,
+      s"capped result must equal exact Jaccard: $capped vs $exact")
+    // hand-computed values: (1,2) identical → 1.0; (3,4) differ in the last
+    // token → 9 shared of 11 distinct windows
+    assert(capped.contains((1L, 2L, 1.0)))
+    assert(capped.contains((3L, 4L, 9.0 / 11.0)))
+    // doc 5 overlaps others ONLY via hot boilerplate (J=0.4 < threshold
+    // anyway) — absent from both sides
+    assert(!capped.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+}
+
 class AnnOpsSpec extends SparkTestBase {
   import spark.implicits._
 

@@ -152,6 +152,29 @@ class DedupPipelineSpec extends SparkTestBase {
     assert(out("s3") != out("s1"))
   }
 
+  test("simhash channel rescues pairs the minhash gate rejects, within its radius") {
+    import spark.implicits._
+    // near-identical pair; the minhash gate is raised to 99 so only the
+    // simhash hamming ball can admit it — proving the derived chunk tables
+    // actually generate the candidate AND the verify gate admits it
+    val base = (1 to 60).map(i => s"w${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}${('a' + (i / 676) % 26).toChar}")
+    val tweaked = base.updated(51, "changedword")
+    val rows = Seq(("u1", base.mkString(" ")), ("u2", tweaked.mkString(" ")))
+      .toDF("url", "text")
+    val cfgHigh = graft.kernel.GraftConfig.default.copy(matchingThreshold = 99.0)
+
+    val sigs = new DedupPipeline(spark, cfgHigh).signatureStage(rows).collect()
+    val hamming = java.lang.Long.bitCount(sigs(0).simhash ^ sigs(1).simhash)
+    assert(hamming <= 2, s"test pair drifted out of the default radius: hamming=$hamming")
+
+    val withChannel = new DedupPipeline(spark, cfgHigh, PipelineOptions())
+      .dupPairs(rows, fromHtml = false).count()
+    val withoutChannel = new DedupPipeline(spark, cfgHigh,
+      PipelineOptions(simHashChannel = false)).dupPairs(rows, fromHtml = false).count()
+    assert(withChannel == 1, "simhash channel must find the pair")
+    assert(withoutChannel == 0, "with the channel off the raised minhash gate must reject it")
+  }
+
   test("non-default config matrix: XorAll strategy + jaccard verify + hot prefilter") {
     import spark.implicits._
     val near = (1 to 40).map(i => s"tok${('a' + i % 26).toChar}$i")
