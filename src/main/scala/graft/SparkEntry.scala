@@ -40,6 +40,21 @@ object SparkEntry {
       (pmod(col("l_partkey") + col("l_orderkey"), lit(51)) === 50).as("is_pichash"),
       lit(true).as("is_minhash"))
 
+  /** Cross-compare variant of `syntheticMatches`: sample_id varies
+    * (l_suppkey mod 5), simulating five 1vsN match reports to cross.
+    */
+  private def syntheticCrossMatches(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      pmod(col("l_suppkey"), lit(5)).cast("long").as("sample_id"),
+      col("l_partkey").cast("long").as("function_id"),
+      (pmod(col("l_partkey"), lit(97)) + lit(10)).cast("long").as("binweight"),
+      pmod(col("l_orderkey"), lit(50)).cast("long").as("matched_family_id"),
+      pmod(col("l_orderkey"), lit(200)).cast("long").as("matched_sample_id"),
+      (lit(50) + pmod(col("l_partkey") + col("l_orderkey"), lit(51))).cast("int").as("score"),
+      (pmod(col("l_orderkey"), lit(7)) === 0).as("is_library"),
+      (pmod(col("l_partkey") + col("l_orderkey"), lit(51)) === 50).as("is_pichash"),
+      lit(true).as("is_minhash"))
+
   /** The same derivation as DuckDB SQL (shared CTE prefix). */
   private val MatchesCte =
     "WITH m AS (SELECT 0 AS sample_id, CAST(l_partkey AS BIGINT) AS function_id, " +
@@ -186,6 +201,9 @@ object SparkEntry {
     // ---- F4: per-function aggregation view ----
     "q_func_agg" -> ((s, dir) =>
       MatchReportOps.functionAggView(syntheticMatches(s, dir))),
+    // ---- C3×A3: cross-compare matrix cells with 6-weighting percents ----
+    "q_cross_weighted" -> ((s, dir) =>
+      MatchReportOps.crossCompareWeighted(syntheticCrossMatches(s, dir))),
     // ---- F6: cursor codec round-trip inside the gate: encode → decode →
     // keyset predicate → page ----
     "q_keyset_cursor" -> ((s, dir) => {
@@ -397,6 +415,49 @@ object SparkEntry {
       "CAST(sum(CASE WHEN is_minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_min, " +
       "CAST(sum(CASE WHEN is_library THEN 1 ELSE 0 END) AS BIGINT) AS n_lib " +
       "FROM m GROUP BY function_id"),
+    "q_cross_weighted" ->
+      ("WITH m AS (SELECT CAST(l_suppkey % 5 AS BIGINT) AS sample_id, " +
+        "CAST(l_partkey AS BIGINT) AS function_id, " +
+        "CAST(l_partkey % 97 + 10 AS BIGINT) AS binweight, " +
+        "CAST(l_orderkey % 50 AS BIGINT) AS matched_family_id, " +
+        "CAST(l_orderkey % 200 AS BIGINT) AS matched_sample_id, " +
+        "CAST(50 + (l_partkey + l_orderkey) % 51 AS INT) AS score, " +
+        "(l_orderkey % 7 = 0) AS is_library, " +
+        "((l_partkey + l_orderkey) % 51 = 50) AS is_pichash, " +
+        "true AS is_minhash FROM lineitem), " +
+        "fam AS (SELECT sample_id, function_id, count(DISTINCT matched_family_id) AS nf FROM m GROUP BY 1, 2), " +
+        "adj AS (SELECT sample_id, function_id, CASE WHEN nf < 3 THEN 1 " +
+        "ELSE CAST(least(length(bin(CAST(nf AS BIGINT))), 12) AS INT) END AS adjustment FROM fam), " +
+        "libf AS (SELECT sample_id, function_id, max(CASE WHEN is_library THEN 1 ELSE 0 END) AS fn_is_lib FROM m GROUP BY 1, 2), " +
+        "sfuncs AS (SELECT DISTINCT sample_id, function_id, binweight FROM m), " +
+        "den AS (SELECT s.sample_id, CAST(sum(s.binweight) AS BIGINT) AS total_bytes, " +
+        "CAST(sum(CASE WHEN coalesce(l.fn_is_lib, 0) = 0 THEN s.binweight ELSE 0 END) AS BIGINT) AS nonlib_total_bytes " +
+        "FROM sfuncs s LEFT JOIN libf l ON s.sample_id = l.sample_id AND s.function_id = l.function_id GROUP BY 1), " +
+        "best AS (SELECT sample_id, function_id, matched_sample_id, max(score) AS score, " +
+        "any_value(binweight) AS binweight, " +
+        "max(CASE WHEN is_pichash THEN 1 ELSE 0 END) AS is_pic, " +
+        "max(CASE WHEN is_minhash THEN 1 ELSE 0 END) AS is_min, " +
+        "max(CASE WHEN is_library THEN 1 ELSE 0 END) AS is_lib FROM m GROUP BY 1, 2, 3), " +
+        "bestj AS (SELECT b.*, a.adjustment FROM best b JOIN adj a " +
+        "ON b.sample_id = a.sample_id AND b.function_id = a.function_id), " +
+        "cells AS (SELECT sample_id, matched_sample_id, count(*) AS n_funcs, " +
+        "CAST(sum(is_pic) AS BIGINT) AS n_pic, CAST(sum(is_min) AS BIGINT) AS n_min, " +
+        "CAST(sum(is_lib) AS BIGINT) AS n_lib, " +
+        "CAST(sum(binweight) AS BIGINT) AS b_unw, " +
+        "CAST(sum(binweight * score) AS BIGINT) AS b_sw, " +
+        "CAST(sum((binweight * score * 27720) // adjustment) AS BIGINT) AS b_fw, " +
+        "CAST(sum(CASE WHEN is_lib = 0 THEN binweight ELSE 0 END) AS BIGINT) AS b_nl_unw, " +
+        "CAST(sum(CASE WHEN is_lib = 0 THEN binweight * score ELSE 0 END) AS BIGINT) AS b_nl_sw, " +
+        "CAST(sum(CASE WHEN is_lib = 0 THEN (binweight * score * 27720) // adjustment ELSE 0 END) AS BIGINT) AS b_nl_fw " +
+        "FROM bestj GROUP BY 1, 2) " +
+        "SELECT c.sample_id, c.matched_sample_id, n_funcs, n_pic, n_min, n_lib, " +
+        "CASE WHEN total_bytes > 0 THEN (100.0 * (CAST(b_unw AS DOUBLE) / 1.0)) / CAST(total_bytes AS DOUBLE) ELSE 0.0 END AS pct_unweighted, " +
+        "CASE WHEN total_bytes > 0 THEN (100.0 * (CAST(b_sw AS DOUBLE) / 100.0)) / CAST(total_bytes AS DOUBLE) ELSE 0.0 END AS pct_score_weighted, " +
+        "CASE WHEN total_bytes > 0 THEN (100.0 * (CAST(b_fw AS DOUBLE) / 2772000.0)) / CAST(total_bytes AS DOUBLE) ELSE 0.0 END AS pct_frequency_weighted, " +
+        "CASE WHEN nonlib_total_bytes > 0 THEN (100.0 * (CAST(b_nl_unw AS DOUBLE) / 1.0)) / CAST(nonlib_total_bytes AS DOUBLE) ELSE 0.0 END AS pct_nonlib_unweighted, " +
+        "CASE WHEN nonlib_total_bytes > 0 THEN (100.0 * (CAST(b_nl_sw AS DOUBLE) / 100.0)) / CAST(nonlib_total_bytes AS DOUBLE) ELSE 0.0 END AS pct_nonlib_score_weighted, " +
+        "CASE WHEN nonlib_total_bytes > 0 THEN (100.0 * (CAST(b_nl_fw AS DOUBLE) / 2772000.0)) / CAST(nonlib_total_bytes AS DOUBLE) ELSE 0.0 END AS pct_nonlib_frequency_weighted " +
+        "FROM cells c JOIN den ON c.sample_id = den.sample_id"),
     "q_keyset_cursor" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > 5000.0 OR (o_totalprice = 5000.0 AND o_orderkey > 0) " +

@@ -92,6 +92,105 @@ object MatchReportOps {
           .as("bytes_freq_nonlib"))
   }
 
+  /** C3×A3 — the cross-compare matrix cell the reference renders: per
+    * (probing sample, matched sample), matched-function counts by channel
+    * and matched PERCENT under all 6 weightings ((unweighted / score /
+    * frequency) × (all / nonlib)), ≅ MatcherCross._produce_cross_crompare
+    * over per-sample 1vsN reports (/root/reference/mcrit/matchers/
+    * MatcherCross.py:79-151) with the percent math of
+    * _aggregateMatchSampleSummary (MatcherInterface.py:442-531):
+    *
+    *   percent[kind]          = 100 · bytes[kind] / matchable_bytes(sample)
+    *   percent[nonlib_kind]   = 100 · bytes[nonlib_kind] /
+    *                              (matchable_bytes − library_match_bytes)
+    *
+    * where library_match_bytes counts each function that matched ANY library
+    * sample anywhere in the sample's report (the reference's
+    * num_library_match_bytes), while the nonlib NUMERATOR excludes a
+    * function only for matched samples it reached through a library match
+    * (per-pair has_library_match) — the same asymmetry the reference has.
+    *
+    * `sampleFunctions` (sample_id, function_id, binweight) supplies the
+    * denominators; the overload derives it from the match rows (every
+    * matchable function appears there by construction of a full report).
+    * All weighted sums use the exact integer scaling of
+    * `sixWeightingRollup`; the only float ops are the two final divisions,
+    * in a fixed tree, so a SQL oracle reproduces them bit-for-bit.
+    */
+  def crossCompareWeighted(matches: DataFrame, sampleFunctions: DataFrame): DataFrame = {
+    // family-promiscuity adjustment per (sample, function) over its matches
+    val famCounts = matches.groupBy("sample_id", "function_id")
+      .agg(countDistinct("matched_family_id").as("n_families"))
+      .select(col("sample_id"), col("function_id"),
+        familyAdjustment(col("n_families")).as("adjustment"))
+
+    // per-function library flag across the WHOLE report (denominator side)
+    val libFuncs = matches.groupBy("sample_id", "function_id")
+      .agg(max(col("is_library").cast("int")).as("fn_is_lib"))
+
+    // denominators per probing sample
+    val denoms = sampleFunctions
+      .join(libFuncs, Seq("sample_id", "function_id"), "left")
+      .na.fill(0, Seq("fn_is_lib"))
+      .groupBy("sample_id")
+      .agg(sum(col("binweight").cast("long")).as("total_bytes"),
+        sum(when(col("fn_is_lib") === 0, col("binweight").cast("long")).otherwise(0L))
+          .as("nonlib_total_bytes"))
+
+    // best match per (sample, function, matched sample): the reference's
+    // per-entry argmax with any-channel flags
+    val best = matches.groupBy("sample_id", "function_id", "matched_sample_id")
+      .agg(
+        max("score").as("score"),
+        first("binweight").as("binweight"),
+        max(col("is_pichash").cast("int")).as("is_pic"),
+        max(col("is_minhash").cast("int")).as("is_min"),
+        max(col("is_library").cast("int")).as("is_lib"))
+      .join(famCounts, Seq("sample_id", "function_id"))
+
+    val w = col("binweight").cast("long")
+    val weighted = w * col("score").cast("long")
+    val freqWeighted = expr(
+      "(CAST(binweight AS BIGINT) * CAST(score AS BIGINT) * 27720) DIV CAST(adjustment AS BIGINT)")
+    val nonlib = col("is_lib") === 0
+
+    val cells = best.groupBy("sample_id", "matched_sample_id")
+      .agg(
+        count(lit(1)).as("n_funcs"),
+        sum(col("is_pic")).cast("long").as("n_pic"),
+        sum(col("is_min")).cast("long").as("n_min"),
+        sum(col("is_lib")).cast("long").as("n_lib"),
+        sum(w).cast("long").as("b_unw"),
+        sum(weighted).cast("long").as("b_sw"),
+        sum(freqWeighted).cast("long").as("b_fw"),
+        sum(when(nonlib, w).otherwise(0L)).cast("long").as("b_nl_unw"),
+        sum(when(nonlib, weighted).otherwise(0L)).cast("long").as("b_nl_sw"),
+        sum(when(nonlib, freqWeighted).otherwise(0L)).cast("long").as("b_nl_fw"))
+
+    def pct(bytesInt: Column, scale: Double, denom: Column): Column =
+      when(denom > 0,
+        (lit(100.0) * (bytesInt.cast("double") / lit(scale))) / denom.cast("double"))
+        .otherwise(lit(0.0))
+
+    cells.join(denoms, "sample_id")
+      .select(col("sample_id"), col("matched_sample_id"),
+        col("n_funcs"), col("n_pic"), col("n_min"), col("n_lib"),
+        pct(col("b_unw"), 1.0, col("total_bytes")).as("pct_unweighted"),
+        pct(col("b_sw"), 100.0, col("total_bytes")).as("pct_score_weighted"),
+        pct(col("b_fw"), 100.0 * AdjLcm, col("total_bytes")).as("pct_frequency_weighted"),
+        pct(col("b_nl_unw"), 1.0, col("nonlib_total_bytes")).as("pct_nonlib_unweighted"),
+        pct(col("b_nl_sw"), 100.0, col("nonlib_total_bytes")).as("pct_nonlib_score_weighted"),
+        pct(col("b_nl_fw"), 100.0 * AdjLcm, col("nonlib_total_bytes"))
+          .as("pct_nonlib_frequency_weighted"))
+  }
+
+  /** Convenience form: denominators from the distinct functions present in
+    * the match rows themselves.
+    */
+  def crossCompareWeighted(matches: DataFrame): DataFrame =
+    crossCompareWeighted(matches,
+      matches.select("sample_id", "function_id", "binweight").distinct())
+
   // ---- F1 filter battery (composable, named like the reference's) -------
 
   /** filterByDirectMinScore / MaxScore (MatchingResult.py:137-158). */

@@ -106,6 +106,38 @@ object ReportOps {
     picked.toSeq
   }
 
+  /** C4 endpoint analog — render a YARA-style rule from the greedy cover's
+    * picked n-grams, mirroring the reference's user-visible rule layout
+    * (/root/reference/mcrit/storage/UniqueBlocksResult.py:38-70): hash-based
+    * rule identifier, meta block, one string per picked gram with a
+    * coverage comment, and an `N of them` condition. `date` is an explicit
+    * input for deterministic output (the reference stamps utcnow).
+    */
+  def renderRule(picked: Seq[(String, Seq[Long])], numTargets: Int,
+      conditionRequired: Int = 7, date: String = "1970-01-01"): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val ruleId = md.digest(picked.map(_._1).mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val covered = picked.flatMap(_._2).distinct.size
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sb = new StringBuilder
+    sb ++= s"rule graft_$ruleId {\n"
+    sb ++= "    meta:\n"
+    sb ++= "        author = \"GRAFT rule generator\"\n"
+    sb ++= "        description = \"Text rule composed from characteristic n-grams for the selected document set.\"\n"
+    sb ++= s"""        date = "$date"\n"""
+    sb ++= "    strings:\n"
+    sb ++= s"        // Rule generation selected ${picked.size} n-grams, covering $covered/$numTargets input document(s).\n"
+    for (((gram, docs), i) <- picked.zipWithIndex) {
+      sb ++= s"        /* ngram coverage: ${docs.size}/$covered document(s). */\n"
+      sb ++= s"        $$gram_$i = \"${esc(gram)}\"\n"
+    }
+    sb ++= "    condition:\n"
+    sb ++= s"        ${math.min(picked.size, conditionRequired)} of them\n"
+    sb ++= "}\n"
+    sb.toString
+  }
+
   /** C3 analog — cross-compare matrix: all-pairs signature scores within a
     * doc set (n is small by contract; the quadratic join is intra-set only).
     */
@@ -123,30 +155,56 @@ object ReportOps {
         graft.expr.SignatureScore.sigScore(col("x.sig"), col("y.sig")).as("score"))
   }
 
-  /** C2 analog — complete-linkage agglomerative clustering + dendrogram
-    * leaf order over a small all-pairs distance matrix (driver-side util,
-    * ≅ MatcherCross._compute_serial_matrix; n ≤ thousands by contract).
+  /** C2 analog — agglomerative clustering + dendrogram leaf order over a
+    * small all-pairs distance matrix (driver-side util,
+    * ≅ MatcherCross._compute_serial_matrix with method ∈ {"complete",
+    * "ward"}; n ≤ thousands by contract). Linkages via the Lance–Williams
+    * recurrence: complete = max of the merged parts; ward on SQUARED
+    * distances, d²(i∪j, k) = ((nᵢ+nₖ)d²ᵢₖ + (nⱼ+nₖ)d²ⱼₖ − nₖd²ᵢⱼ) /
+    * (nᵢ+nⱼ+nₖ) — the standard minimum-variance update for a Euclidean-ish
+    * distance matrix. Deterministic: nearest pair with smallest-(i,j)
+    * tie-break; leaf order is the left++right dendrogram traversal.
     * Input: symmetric distances as ((a, b) -> dist). Returns ordered ids.
     */
-  def seriation(ids: Seq[Long], dist: (Long, Long) => Double): Seq[Long] = {
-    if (ids.size <= 1) return ids
-    final case class Node(members: Vector[Long])
-    var clusters = ids.sorted.map(i => Node(Vector(i))).toVector
-    def linkage(a: Node, b: Node): Double =
-      a.members.iterator.flatMap(x => b.members.iterator.map(y => dist(x, y))).max
-    while (clusters.size > 1) {
-      var best = (0, 1)
-      var bestD = Double.MaxValue
-      for (i <- clusters.indices; j <- (i + 1) until clusters.size) {
-        val d = linkage(clusters(i), clusters(j))
-        if (d < bestD) { bestD = d; best = (i, j) }
-      }
-      val (i, j) = best
-      val merged = Node(clusters(i).members ++ clusters(j).members)
-      clusters = (clusters.zipWithIndex.collect {
-        case (c, k) if k != i && k != j => c
-      }) :+ merged
+  def seriation(ids: Seq[Long], dist: (Long, Long) => Double,
+      method: String = "complete"): Seq[Long] = {
+    require(method == "complete" || method == "ward", s"unknown linkage: $method")
+    val sorted = ids.sorted
+    val n = sorted.size
+    if (n <= 1) return sorted
+    val members = scala.collection.mutable.Map.empty[Int, Vector[Long]]
+    val sizes = scala.collection.mutable.Map.empty[Int, Int]
+    val d = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    def key(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
+    for (i <- 0 until n) { members(i) = Vector(sorted(i)); sizes(i) = 1 }
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val d0 = dist(sorted(i), sorted(j))
+      d(key(i, j)) = if (method == "ward") d0 * d0 else d0
     }
-    clusters.head.members
+    val active = scala.collection.mutable.SortedSet.empty[Int] ++ (0 until n)
+    var nextId = n
+    while (active.size > 1) {
+      var bi = -1; var bj = -1
+      var bestD = Double.MaxValue
+      for (i <- active; j <- active if i < j) {
+        val dd = d(key(i, j))
+        if (dd < bestD) { bestD = dd; bi = i; bj = j }
+      }
+      for (k <- active if k != bi && k != bj) {
+        val dk = method match {
+          case "ward" =>
+            val (ni, nj, nk) = (sizes(bi), sizes(bj), sizes(k))
+            ((ni + nk) * d(key(bi, k)) + (nj + nk) * d(key(bj, k)) -
+              nk * d(key(bi, bj))) / (ni + nj + nk)
+          case _ => math.max(d(key(bi, k)), d(key(bj, k)))
+        }
+        d(key(nextId, k)) = dk
+      }
+      members(nextId) = members(bi) ++ members(bj)
+      sizes(nextId) = sizes(bi) + sizes(bj)
+      active -= bi; active -= bj; active += nextId
+      nextId += 1
+    }
+    members(active.head)
   }
 }

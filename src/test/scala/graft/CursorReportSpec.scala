@@ -84,6 +84,38 @@ class MatchReportSpec extends SparkTestBase {
     assert(s103.getLong(1) == 1 && s103.getLong(4) == 30)
   }
 
+  test("cross-compare 6-weighting cell math on a hand-computed case") {
+    val cm = Seq(
+      // sample 1: fn 10 (w5) matches samples 100 (s80) and 200 (s60, LIBRARY);
+      //           fn 11 (w3) matches sample 100 (s100, pichash)
+      (1L, 10L, 5L, 1L, 100L, 80, false, false, true),
+      (1L, 10L, 5L, 2L, 200L, 60, true, false, true),
+      (1L, 11L, 3L, 1L, 100L, 100, false, true, true))
+      .toDF("sample_id", "function_id", "binweight", "matched_family_id",
+        "matched_sample_id", "score", "is_library", "is_pichash", "is_minhash")
+    val out = MatchReportOps.crossCompareWeighted(cm).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+
+    val c100 = out((1L, 100L))
+    assert(c100.getAs[Long]("n_funcs") == 2 && c100.getAs[Long]("n_pic") == 1 &&
+      c100.getAs[Long]("n_min") == 2 && c100.getAs[Long]("n_lib") == 0)
+    // total bytes = 5+3 = 8; both matches into 100 are non-library
+    assert(c100.getAs[Double]("pct_unweighted") == 100.0)
+    assert(c100.getAs[Double]("pct_score_weighted") == (5 * 80 + 3 * 100) / 100.0 / 8 * 100)
+    // both functions matched < 3 families → adjustment 1 → freq == score
+    assert(c100.getAs[Double]("pct_frequency_weighted") ==
+      c100.getAs[Double]("pct_score_weighted"))
+    // nonlib denominator excludes fn 10 (it matched a library SOMEWHERE) but
+    // the numerator keeps its non-library match into 100 — the reference's
+    // asymmetry, so nonlib percent can exceed 100
+    assert(c100.getAs[Double]("pct_nonlib_unweighted") == 800.0 / 3.0)
+
+    val c200 = out((1L, 200L))
+    assert(c200.getAs[Long]("n_funcs") == 1 && c200.getAs[Long]("n_lib") == 1)
+    assert(c200.getAs[Double]("pct_unweighted") == 500.0 / 8.0)
+    assert(c200.getAs[Double]("pct_nonlib_unweighted") == 0.0)
+  }
+
   test("filter battery: transitive library exclusion and family-unique") {
     val noLib = MatchReportOps.excludeLibraryTransitive(m)
     // fn 2 matched a library sample once → ALL its matches drop

@@ -324,6 +324,52 @@ class ReportOpsSpec extends SparkTestBase {
     assert(math.abs(pos(3L) - pos(4L)) == 1)
   }
 
+  test("ward seriation groups planted clusters contiguously and deterministically") {
+    // 1-D geometry: {0,1} and {10,11} are tight pairs, 30 is an outlier;
+    // ward must keep each pair adjacent and the outlier at an end
+    val coord = Map(1L -> 0.0, 2L -> 1.0, 3L -> 10.0, 4L -> 11.0, 5L -> 30.0)
+    def dist(a: Long, b: Long) = math.abs(coord(a) - coord(b))
+    val order = ReportOps.seriation(Seq(5L, 3L, 1L, 4L, 2L), dist, method = "ward")
+    val pos = order.zipWithIndex.toMap
+    assert(math.abs(pos(1L) - pos(2L)) == 1)
+    assert(math.abs(pos(3L) - pos(4L)) == 1)
+    assert(pos(5L) == 0 || pos(5L) == 4, s"outlier must sit at an end: $order")
+    // deterministic across invocations and input orderings
+    assert(order == ReportOps.seriation(Seq(1L, 2L, 3L, 4L, 5L), dist, method = "ward"))
+    // complete linkage on the same geometry agrees on the cluster structure
+    val comp = ReportOps.seriation(Seq(5L, 3L, 1L, 4L, 2L), dist)
+    val cpos = comp.zipWithIndex.toMap
+    assert(math.abs(cpos(1L) - cpos(2L)) == 1 && math.abs(cpos(3L) - cpos(4L)) == 1)
+  }
+
+  test("rule rendering: deterministic golden output from a greedy cover") {
+    val picked = Seq(("alpha;beta;gamma", Seq(1L, 2L)), ("say \"hi\"", Seq(1L)))
+    val got = ReportOps.renderRule(picked, numTargets = 3, conditionRequired = 7,
+      date = "2026-01-01")
+    val expected =
+      """rule graft_4d1deeeecdd1c5e7 {
+        |    meta:
+        |        author = "GRAFT rule generator"
+        |        description = "Text rule composed from characteristic n-grams for the selected document set."
+        |        date = "2026-01-01"
+        |    strings:
+        |        // Rule generation selected 2 n-grams, covering 2/3 input document(s).
+        |        /* ngram coverage: 2/2 document(s). */
+        |        $gram_0 = "alpha;beta;gamma"
+        |        /* ngram coverage: 1/2 document(s). */
+        |        $gram_1 = "say \"hi\""
+        |    condition:
+        |        2 of them
+        |}
+        |""".stripMargin
+    if (got != expected) {
+      // self-describing failure: print the actual rule id line for repair
+      assert(got == expected, s"rendered rule drifted:\n$got")
+    }
+    // the rule id is the sha256 of the picked-gram list — stable contract
+    assert(got.startsWith("rule graft_"))
+  }
+
   test("link hunt: frequency penalty suppresses promiscuous matchers") {
     val pairs = (
       Seq((1L, 2L, 90.0, 100)) ++ (1 to 10).map(i => (5L, 100L + i, 90.0, 100))
