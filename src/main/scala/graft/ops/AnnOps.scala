@@ -179,8 +179,13 @@ object AnnOps {
     */
   def trainCentroids(df: DataFrame, nlist: Int, dim: Int,
       sampleCap: Int = 4096, iters: Int = 10): Array[Array[Float]] = {
+    // the sample must comfortably exceed nlist or cells train degenerate:
+    // grow it with nlist (≥8 sample vectors per centroid) so large-nlist
+    // configs (√n-ish at 10^9 vectors) are not silently bounded by the
+    // default cap; the sample is still a driver-side O(sample·dim) array
+    val effCap = math.max(sampleCap, 8 * nlist)
     val sample = df.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(sampleCap)
+      .orderBy(col("vec_id")).limit(effCap)
       .collect().map(r => r.getSeq[Float](1).toArray)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     var centroids = sample.take(nlist).map(_.clone())

@@ -468,7 +468,26 @@ object DedupPipeline {
           .join(broadcast(hot), Seq("band_key"), "left_anti")
           .as[(Long, Long)]
       }
-    val pairs = input
+    // map-side stop-band combiner, ALWAYS on and exactly output-preserving:
+    // a key whose LOCAL count exceeds `cap` is globally over cap, and cap+1
+    // delivered rows are already enough to make the reducer drop the group —
+    // so suppress everything past cap+1 per key per map partition. A
+    // 10^7-member boilerplate band then ships ≤ (cap+1)·numMapPartitions
+    // postings instead of 10^7 to one reducer. Equivalence: a group is
+    // dropped iff its reducer-side count exceeds cap — if any partition
+    // crossed cap it alone delivers cap+1 (> cap ⇒ dropped, same as
+    // before); if none crossed, delivery is complete and the reducer count
+    // is the true count. Tracking map is size-bounded; on overflow new keys
+    // pass through untracked (the reducer-side cap stays the backstop).
+    val maxTracked = 4 << 20
+    val localCapped = input.mapPartitions { it =>
+      val counts = new java.util.HashMap[Long, Int](1 << 16)
+      it.filter { case (k, _) =>
+        if (counts.size >= maxTracked && !counts.containsKey(k)) true
+        else counts.merge(k, 1, (a, b) => a + b) <= cap + 1
+      }
+    }
+    val pairs = localCapped
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, rows: Iterator[(Long, Long)]) =>
         val ids = new scala.collection.mutable.ArrayBuffer[Long](64)

@@ -110,15 +110,39 @@ object SubstringStage {
       .toDF("anchor", "doc_id")
       .distinct()
 
-    // candidate pairs from shared anchors; stop-anchor cap for boilerplate
+    // candidate pairs from shared anchors; stop-anchor cap for boilerplate.
+    // Map-side local cap first (same trick as DedupPipeline.pairsFromBands,
+    // exactly output-preserving): a key over cap locally is globally over
+    // cap, and cap+1 delivered rows already force the reducer drop — so a
+    // mega-hot boilerplate anchor ships ≤ (cap+1)·maps rows instead of its
+    // whole posting list to one reducer. (anchorRows is already distinct on
+    // (anchor, doc_id), so group size IS the distinct-doc count.)
     val cap = maxAnchorGroup
-    val pairs = anchorRows.as[(Long, Long)]
+    val capped = anchorRows.as[(Long, Long)].mapPartitions { it =>
+      val counts = new java.util.HashMap[Long, Int](1 << 12)
+      val maxTracked = 4 << 20
+      it.filter { case (k, _) =>
+        if (counts.size >= maxTracked && !counts.containsKey(k)) true
+        else counts.merge(k, 1, (a, b) => a + b) <= cap + 1
+      }
+    }
+    val pairs = capped
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, rows: Iterator[(Long, Long)]) =>
-        val ids = rows.map(_._2).toArray.distinct.sorted
-        if (ids.length < 2 || ids.length > cap) Iterator.empty
-        else for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-          yield (ids(i), ids(j))
+        // stream with early overflow — never materialize an over-cap group
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+        var overflow = false
+        while (rows.hasNext) {
+          val id = rows.next()._2
+          if (!overflow) { ids += id; if (ids.length > cap) overflow = true }
+        }
+        if (overflow || ids.length < 2) Iterator.empty
+        else {
+          val arr = ids.toArray
+          java.util.Arrays.sort(arr)
+          arr.indices.iterator.flatMap(i =>
+            ((i + 1) until arr.length).iterator.map(j => (arr(i), arr(j))))
+        }
       }
       .toDF("a", "b")
       .distinct()

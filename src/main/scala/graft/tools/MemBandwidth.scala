@@ -1,0 +1,58 @@
+package graft.tools
+
+/** Aggregate memory-bandwidth probe (STREAM-triad-like): each thread streams
+  * a private 64 MB double array (far beyond LLC) computing a(i) = b(i) +
+  * s·c(i). Prints aggregate GB/s at 1/4/8/16/32 threads. Evidence tool for
+  * the N→4N scaling criterion: on a real cluster 4N executors bring 4× the
+  * memory channels; on this single host the threads share one bus, and this
+  * measures exactly where that bus saturates — the ceiling any
+  * shuffle/exchange-bound stage inherits at wide parallelism.
+  *
+  * Run pinned, like the bench levels: `taskset -c 0-(N-1)`.
+  */
+object MemBandwidth {
+  def main(args: Array[String]): Unit = {
+    val mbPerThread = if (args.nonEmpty) args(0).toInt else 64
+    val n = mbPerThread * 1024 * 1024 / 8 / 3 // three arrays per thread
+    val reps = 8
+
+    def triad(threads: Int): Double = {
+      val barrier = new java.util.concurrent.CyclicBarrier(threads + 1)
+      val done = new java.util.concurrent.CountDownLatch(threads)
+      val sink = new java.util.concurrent.atomic.DoubleAdder
+      for (_ <- 0 until threads) {
+        new Thread(() => {
+          val a = new Array[Double](n)
+          val b = Array.tabulate(n)(i => i * 0.5)
+          val c = Array.tabulate(n)(i => i * 0.25)
+          barrier.await()
+          var r = 0
+          while (r < reps) {
+            var i = 0
+            while (i < n) { a(i) = b(i) + 1.5 * c(i); i += 1 }
+            r += 1
+          }
+          sink.add(a(n - 1))
+          done.countDown()
+        }).start()
+      }
+      barrier.await()
+      val t0 = System.nanoTime()
+      done.await()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // triad moves 3 arrays × 8 bytes × n × reps per thread (2 reads + 1 write)
+      val bytes = 3.0 * 8 * n * reps * threads
+      if (sink.sum() == Double.MinValue) println("impossible")
+      bytes / secs / 1e9
+    }
+
+    triad(2) // warm JIT
+    // second arg: probe a single thread count (bench fork mode); default:
+    // the full saturation ladder
+    val levels = if (args.length > 1) Seq(args(1).toInt) else Seq(1, 4, 8, 16, 32)
+    for (t <- levels) {
+      val gbs = Seq.fill(2)(triad(t)).max
+      println(f"MEMBW threads=$t%-2d aggregate=$gbs%7.2f GB/s")
+    }
+  }
+}

@@ -228,6 +228,36 @@ class DedupPipelineSpec extends SparkTestBase {
       "hot-group members must not pair")
   }
 
+  test("map-side stop-band local cap is exactly output-preserving under any partitioning") {
+    import spark.implicits._
+    // band groups straddling the cap: size 3 (kept), size cap exactly (kept),
+    // size cap+1 (dropped), size 3*cap (dropped) — doc ids overlap so kept
+    // pairs must also count collisions across groups
+    val cap = 10
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    def group(bandId: Int, hash: Long, ids: Seq[Long]): Unit =
+      ids.foreach(id => rows += ((bandId, hash, id)))
+    group(0, 1L, Seq(1L, 2L, 3L))
+    group(1, 2L, (1L to cap.toLong))             // exactly cap → kept
+    group(2, 3L, (1L to (cap + 1).toLong))       // cap+1 → stop-band
+    group(3, 4L, (1L to (3L * cap)))             // mega-hot → stop-band
+    group(4, 5L, Seq(1L, 2L))                    // second collision for (1,2)
+    val expected = Set.newBuilder[(Long, Long, Long)]
+    // brute-force reference: pairs from groups of size ≤ cap, counted
+    val kept = Seq(Seq(1L, 2L, 3L), (1L to cap.toLong).toSeq, Seq(1L, 2L))
+    val cnt = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (g <- kept; i <- g.indices; j <- (i + 1) until g.size)
+      cnt((math.min(g(i), g(j)), math.max(g(i), g(j)))) += 1
+    cnt.foreach { case ((a, b), n) => if (n >= 2) expected += ((a, b, n)) }
+
+    for (parts <- Seq(1, 8)) {
+      val bands = rows.toSeq.toDF("band_id", "band_hash", "doc_id").repartition(parts)
+      val got = graft.pipeline.DedupPipeline.pairsFromBands(spark, bands, cap, 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected.result(), s"parts=$parts: $got")
+    }
+  }
+
   test("channel merge: per-pair max score, OR'd flags") {
     import spark.implicits._
     val lsh = Seq((1L, 2L, 80.0, 3), (3L, 4L, 60.0, 5)).toDF("src", "dst", "score", "hamming")
