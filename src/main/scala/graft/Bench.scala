@@ -126,7 +126,7 @@ object Bench {
       "q_top_per_group", "q_argmax", "q_minhash_pairs", "q_minhash_clusters",
       "q_ngram_jaccard", "q_ann_lsh", "q_simhash", "q_event_window")
     val spark0 = mkSession(cpus, cpus)
-    val queryTimes = try {
+    def timeAll(): Seq[(String, Double)] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val t0 = System.nanoTime()
@@ -134,7 +134,11 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
         }
       }
-    } finally spark0.stop()
+    // two passes: the first (reported as total_query_sec_cold) carries the
+    // per-session fixed costs — JIT, codegen compilation, parquet footer
+    // reads; the second is steady-state operator throughput. Both ship.
+    val (coldTimes, queryTimes) = try { (timeAll(), timeAll()) } finally spark0.stop()
+    val coldTotal = coldTimes.map(_._2).sum
 
     // ---- dedup throughput at two parallelism levels ----
     // SYMMETRIC best-of-2 at EVERY level: the sandbox host's throughput is
@@ -184,7 +188,7 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     // headline `value` = the FIXED local[32] level (never max across levels)
     val json =
-      f"""{"metric":"dedup_docs_per_sec","value":$tput32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.3f,"dedup":{"corpus_sf":$corpusSf,"docs":$docs32,"clusters":$clusters,"sec_local8":$t8%.3f,"sec_local32":$t32%.3f,"docs_per_sec_local8":$tput8%.1f,"docs_per_sec_local32":$tput32%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_pair":"local[1] vs local[4], pinned cores, best-of-2 both sides (constant per-core host resources; see BENCH.md)","scaling_docs":$d1,"sec_local1":$t1%.3f,"sec_local4":$t4%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,"runs_local1":[${r1s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local4":[${r4s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local8":[${r8.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local32":[${r32.map(r => f"${r._2}%.2f").mkString(",")}],"kernel_docs_per_sec_8t":$k8%.0f,"kernel_docs_per_sec_32t":$k32%.0f,"kernel_scaling_efficiency":$kernelEff%.3f,"membw_8t_gbs":$bw8%.1f,"membw_32t_gbs":$bw32%.1f,"membw_scaling_8_32":$bwEff%.3f}}"""
+      f"""{"metric":"dedup_docs_per_sec","value":$tput32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.3f,"total_query_sec_cold":$coldTotal%.3f,"dedup":{"corpus_sf":$corpusSf,"docs":$docs32,"clusters":$clusters,"sec_local8":$t8%.3f,"sec_local32":$t32%.3f,"docs_per_sec_local8":$tput8%.1f,"docs_per_sec_local32":$tput32%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_pair":"local[1] vs local[4], pinned cores, best-of-2 both sides (constant per-core host resources; see BENCH.md)","scaling_docs":$d1,"sec_local1":$t1%.3f,"sec_local4":$t4%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,"runs_local1":[${r1s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local4":[${r4s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local8":[${r8.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local32":[${r32.map(r => f"${r._2}%.2f").mkString(",")}],"kernel_docs_per_sec_8t":$k8%.0f,"kernel_docs_per_sec_32t":$k32%.0f,"kernel_scaling_efficiency":$kernelEff%.3f,"membw_8t_gbs":$bw8%.1f,"membw_32t_gbs":$bw32%.1f,"membw_scaling_8_32":$bwEff%.3f}}"""
     println(json)
   }
 

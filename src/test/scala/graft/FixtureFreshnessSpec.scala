@@ -34,11 +34,11 @@ class FixtureFreshnessSpec extends SparkTestBase {
       "if the kernel change is intentional, regenerate with runMain graft.tools.GenFixtures")
   }
 
-  for (name <- graft.tools.GenFixtures.perSf)
-    test(s"committed fixture is fresh: $name (sf0.001)") {
+  for (sf <- Seq("sf0.001", "sf0.01"); name <- graft.tools.GenFixtures.perSf)
+    test(s"committed fixture is fresh: $name ($sf)") {
       assertSameRows(name,
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"),
-        s"$FixRoot/sf0.001/$name")
+        SparkEntry.queries(name)(spark, s"/root/testdata/$sf"),
+        s"$FixRoot/$sf/$name")
     }
 
   for (name <- graft.tools.GenFixtures.anySf)
