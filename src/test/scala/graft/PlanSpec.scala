@@ -86,6 +86,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial"), s"aggregates must partial-combine map-side:\n$plan")
   }
 
+  test("cross-weighted matrix plan is UDF-free with partial aggregation") {
+    val m = Seq((1L, 1L, 10L, 1L, 100L, 90, false, true, true))
+      .toDF("sample_id", "function_id", "binweight", "matched_family_id",
+        "matched_sample_id", "score", "is_library", "is_pichash", "is_minhash")
+    val plan = graft.ops.MatchReportOps.crossCompareWeighted(m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in cross matrix:\n$plan")
+    assert(plan.contains("partial"), s"aggregates must partial-combine map-side:\n$plan")
+  }
+
   test("small dimension joins broadcast (Catalyst stats/AQE)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val nation = spark.read.parquet(s"$sf/customer.parquet")
