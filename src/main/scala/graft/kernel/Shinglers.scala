@@ -137,21 +137,37 @@ final class FuzzyStatShingler(cfg: GraftConfig, weight: Int)
   def generateSequences(doc: TextNorm.Tokenized): Seq[String] = {
     val numTokens = doc.numTokens
     if (numTokens == 0) return Seq.empty
+    // ONE pass over the tokens for alpha/stop/digit/uniq (was three iterator
+    // traversals plus a Scala toSet — a measurable slice of the per-doc
+    // kernel); char predicates match the original forall/exists semantics
     var numAlpha = 0
     var numStop = 0
     var numDigit = 0
+    val uniqSet = new java.util.HashSet[String](math.max(16, numTokens * 2))
     val it = doc.allTokens
     while (it.hasNext) {
       val t = it.next()
-      if (t.forall(_.isLetter)) numAlpha += 1
+      var allLetter = true
+      var anyDigit = false
+      var ci = 0
+      val len = t.length
+      while (ci < len) {
+        val c = t.charAt(ci)
+        if (!Character.isLetter(c)) allLetter = false
+        if (Character.isDigit(c)) anyDigit = true
+        ci += 1
+      }
+      if (allLetter) numAlpha += 1
+      if (anyDigit) numDigit += 1
       if (stopwords.contains(t)) numStop += 1
-      if (t.exists(_.isDigit)) numDigit += 1
+      uniqSet.add(t)
+      ()
     }
     var numUpper = 0
     for (t <- doc.rawToks) if (t.nonEmpty && t.charAt(0).isUpper) numUpper += 1
     val numRaw = math.max(doc.rawToks.length, 1)
     val maxPara = if (doc.paraTokens.isEmpty) 0 else doc.paraTokens.map(_.length).max
-    val uniq = doc.allTokens.toSet.size
+    val uniq = uniqSet.size
     // insertion-ordered like the reference's `fields` dict
     val fields: Seq[(String, Long)] = Seq(
       "num_alpha" -> numAlpha.toLong,

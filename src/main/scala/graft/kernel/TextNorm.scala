@@ -146,8 +146,11 @@ object TextNorm {
 
   def tokenize(text: String): Tokenized = {
     val paras = paragraphs(text)
-    val raw = paras.flatMap(rawTokens)
-    val norm = paras.map(p => rawTokens(p).map(normalizeToken).filter(_.nonEmpty))
-    Tokenized(norm.filter(_.nonEmpty), raw)
+    // split each paragraph ONCE and reuse for both views (the old form
+    // ran the whitespace regex twice per paragraph — pure waste in the
+    // hottest per-doc path)
+    val rawPer = paras.map(rawTokens)
+    val norm = rawPer.map(_.map(normalizeToken).filter(_.nonEmpty))
+    Tokenized(norm.filter(_.nonEmpty), rawPer.flatten)
   }
 }
