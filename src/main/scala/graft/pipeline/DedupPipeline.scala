@@ -419,6 +419,57 @@ object DedupPipeline {
   val FlagMinhash = 1
   val FlagExact = 2
 
+  /** Minimal open-addressed long→int counter for the map-side local cap:
+    * a java.util.HashMap would box a Long key and Integer value per
+    * posting on the hottest shuffle-input path. Power-of-two capacity,
+    * linear probing, mixed keys, no deletion.
+    */
+  private[graft] final class LongCounter(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity)) * 2
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var counts = new Array[Int](cap)
+    private var n = 0
+    def size: Int = n
+
+    private def slot(k: Long, c: Int): Int =
+      (graft.hash.SimHash.mix64(k) & (c - 1)).toInt
+
+    /** Increment `k` and return its new count — unless the map already
+      * tracks `maxTracked` distinct keys and `k` is new, in which case
+      * return -1 and track nothing (the caller's reducer-side cap remains
+      * the backstop for untracked keys).
+      */
+    def incrBounded(k: Long, maxTracked: Int): Int = {
+      var i = slot(k, cap)
+      while (used(i)) {
+        if (keys(i) == k) { counts(i) += 1; return counts(i) }
+        i = (i + 1) & (cap - 1)
+      }
+      if (n >= maxTracked) return -1
+      if ((n + 1) * 4 >= cap * 3) { grow(); return incrBounded(k, maxTracked) }
+      used(i) = true; keys(i) = k; counts(i) = 1; n += 1
+      1
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldUsed = used; val oldCounts = counts
+      cap *= 2
+      keys = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      counts = new Array[Int](cap)
+      var i = 0
+      while (i < oldKeys.length) {
+        if (oldUsed(i)) {
+          var j = slot(oldKeys(i), cap)
+          while (used(j)) j = (j + 1) & (cap - 1)
+          used(j) = true; keys(j) = oldKeys(i); counts(j) = oldCounts(i)
+        }
+        i += 1
+      }
+    }
+  }
+
   /** Shared skew-capped pair emission from a band table
     * (band_id, band_hash, doc_id) — used by the LSH candidate stage, the
     * phash Hamming channel and the ANN bucket channel.
@@ -481,10 +532,10 @@ object DedupPipeline {
     // pass through untracked (the reducer-side cap stays the backstop).
     val maxTracked = 4 << 20
     val localCapped = input.mapPartitions { it =>
-      val counts = new java.util.HashMap[Long, Int](1 << 16)
+      val counts = new DedupPipeline.LongCounter(1 << 16)
       it.filter { case (k, _) =>
-        if (counts.size >= maxTracked && !counts.containsKey(k)) true
-        else counts.merge(k, 1, (a, b) => a + b) <= cap + 1
+        val c = counts.incrBounded(k, maxTracked)
+        c == -1 || c <= cap + 1
       }
     }
     val pairs = localCapped

@@ -119,11 +119,11 @@ object SubstringStage {
     // (anchor, doc_id), so group size IS the distinct-doc count.)
     val cap = maxAnchorGroup
     val capped = anchorRows.as[(Long, Long)].mapPartitions { it =>
-      val counts = new java.util.HashMap[Long, Int](1 << 12)
+      val counts = new graft.pipeline.DedupPipeline.LongCounter(1 << 12)
       val maxTracked = 4 << 20
       it.filter { case (k, _) =>
-        if (counts.size >= maxTracked && !counts.containsKey(k)) true
-        else counts.merge(k, 1, (a, b) => a + b) <= cap + 1
+        val c = counts.incrBounded(k, maxTracked)
+        c == -1 || c <= cap + 1
       }
     }
     val pairs = capped

@@ -116,6 +116,23 @@ class MatchReportSpec extends SparkTestBase {
     assert(c200.getAs[Double]("pct_nonlib_unweighted") == 0.0)
   }
 
+  test("cross-compare cells agree with the single-sample 6-weighting rollup") {
+    // the cross matrix restricted to one probing sample must count exactly
+    // what sixWeightingRollup counts per matched sample (channel counts are
+    // exact longs — float percents are covered by the hand-computed test)
+    val cross = MatchReportOps.crossCompareWeighted(m).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val roll = MatchReportOps.sixWeightingRollup(m).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(cross.keySet == roll.keySet)
+    for ((ms, c) <- cross) {
+      val r = roll(ms)
+      assert(c.getAs[Long]("n_funcs") == r.getAs[Long]("n_funcs"), s"n_funcs@$ms")
+      assert(c.getAs[Long]("n_pic") == r.getAs[Long]("n_pic"), s"n_pic@$ms")
+      assert(c.getAs[Long]("n_min") == r.getAs[Long]("n_min"), s"n_min@$ms")
+    }
+  }
+
   test("filter battery: transitive library exclusion and family-unique") {
     val noLib = MatchReportOps.excludeLibraryTransitive(m)
     // fn 2 matched a library sample once → ALL its matches drop

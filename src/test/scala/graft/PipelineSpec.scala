@@ -228,6 +228,25 @@ class DedupPipelineSpec extends SparkTestBase {
       "hot-group members must not pair")
   }
 
+  test("LongCounter: exact counts through growth, bounded tracking honored") {
+    val c = new graft.pipeline.DedupPipeline.LongCounter(4)
+    val r = new java.util.Random(3)
+    val keys = Array.fill(5000)(r.nextLong())
+    val expected = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for (i <- 0 until 50000) {
+      val k = keys(r.nextInt(keys.length))
+      expected(k) += 1
+      assert(c.incrBounded(k, Int.MaxValue) == expected(k), s"count mismatch for $k")
+    }
+    assert(c.size == expected.size)
+    // bounded: at the cap, NEW keys return -1 and are never tracked,
+    // existing keys keep exact counts
+    val b = new graft.pipeline.DedupPipeline.LongCounter(4)
+    assert(b.incrBounded(1L, 2) == 1 && b.incrBounded(2L, 2) == 1)
+    assert(b.incrBounded(3L, 2) == -1 && b.incrBounded(3L, 2) == -1)
+    assert(b.incrBounded(1L, 2) == 2 && b.incrBounded(2L, 2) == 2)
+  }
+
   test("map-side stop-band local cap is exactly output-preserving under any partitioning") {
     import spark.implicits._
     // band groups straddling the cap: size 3 (kept), size cap exactly (kept),
