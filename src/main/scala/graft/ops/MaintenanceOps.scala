@@ -16,6 +16,38 @@ object MaintenanceOps {
   def newDocs(input: DataFrame, signatures: DataFrame, keyCol: String = "url"): DataFrame =
     input.join(signatures.select(keyCol), Seq(keyCol), "left_anti")
 
+  /** Incremental dedup (M7 generalized to pair production, ≅ the
+    * reference's addBinarySample → matchSample flow where only the NEW
+    * sample is disassembled/hashed): signs ONLY `newDocs` (url, text) —
+    * the signature kernel is the pipeline's dominant CPU cost — reuses the
+    * persisted signature table for the rest of the corpus, and returns
+    * merged-channel dup pairs touching at least one new doc. Pair
+    * semantics are EXACTLY the full-batch `dupPairsFromSigs` on the
+    * unioned corpus (same caps, same channels — asserted by test), so
+    * repeated incremental batches converge to the batch answer. Scale
+    * note: banding of old signatures is a cheap explode over the persisted
+    * table here; with the band table also persisted (Ledger /
+    * band-bucketed Iceberg layout, see `rebuildBandIndex` and
+    * `QueryMatch.buildOrLoadIndex`) the old side becomes a co-located read
+    * instead.
+    */
+  def incrementalDupPairs(spark: SparkSession, oldSigs: DataFrame, newDocs: DataFrame,
+      cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions())
+      : (DataFrame, DataFrame) = {
+    val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
+    val newSigs = pipe.signatureStage(pipe.extractStage(newDocs, fromHtml = false))
+      .toDF().cache()
+    val pairs = pipe.dupPairsFromSigs(oldSigs.unionByName(newSigs))
+    val newIds = newSigs.select("doc_id")
+    val touchingNew = pairs
+      .join(newIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+      .unionByName(pairs
+        .join(newIds.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+        .join(newIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti"))
+    (newSigs, touchingNew)
+  }
+
   /** L5/J6 analog — delete docs: cascade the removal through the signature
     * and band tables (with Iceberg this is `DELETE FROM ... WHERE`; on
     * parquet stand-ins it is a filtering rewrite).

@@ -97,6 +97,39 @@ class MaintenanceSpec extends SparkTestBase {
     assert(fresh.select("url").as[String].collect().toSeq == Seq("u3"))
   }
 
+  test("incremental dedup equals the batch answer restricted to new-doc pairs") {
+    import org.apache.spark.sql.functions.col
+    def gen(tag: String, n: Int, tweak: Boolean): Seq[(String, String)] =
+      (1 to n).map { i =>
+        val words = (1 to 40).map(w => s"$tag${('a' + (w + i / 3) % 26).toChar}$w")
+        val t = if (tweak && i % 3 == 0) words.updated(5, "tweaked") else words
+        (s"$tag-$i", t.mkString(" "))
+      }
+    // old corpus: 9 docs in 3 near-dup families; new batch: near-dups of
+    // family "fa" plus a fresh family
+    val oldDocs = (gen("fa", 3, tweak = true) ++ gen("fb", 3, tweak = true) ++
+      gen("fc", 3, tweak = true)).toDF("url", "text")
+    val newDocs = (gen("fa", 2, tweak = false).map { case (u, t) => (u + "-new", t) } ++
+      gen("fd", 2, tweak = true).map { case (u, t) => (u + "-new", t) }).toDF("url", "text")
+
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val oldSigs = pipe.signatureStage(pipe.extractStage(oldDocs, fromHtml = false)).toDF()
+    val (newSigs, incPairs) =
+      MaintenanceOps.incrementalDupPairs(spark, oldSigs, newDocs)
+    val newIdSet = newSigs.select("doc_id").as[Long].collect().toSet
+    assert(newIdSet.size == 4)
+
+    // ground truth: full batch over the union, restricted to new-touching
+    val batch = pipe.dupPairs(oldDocs.unionByName(newDocs), fromHtml = false)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+      .filter(p => newIdSet.contains(p._1) || newIdSet.contains(p._2))
+    val inc = incPairs.select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(inc == batch, s"incremental $inc vs batch $batch")
+    assert(inc.nonEmpty, "new near-dups of the old family must be found")
+    // no pair without a new endpoint leaks through
+    assert(inc.forall(p => newIdSet.contains(p._1) || newIdSet.contains(p._2)))
+  }
+
   test("band-index rebuild reproduces the pipeline's band table exactly") {
     val docs = Seq(
       ("u1", (1 to 40).map(i => s"ra${('a' + i % 26).toChar}$i").mkString(" ")),
