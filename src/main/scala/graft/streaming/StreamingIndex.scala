@@ -57,6 +57,86 @@ object StreamingIndex {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("cnt"), col("max_value"))
 
+  /** Per-band-key resident docs for the streaming near-dup channel: up to
+    * `cap` (doc_id, packed signature) entries; an overflowed key is a
+    * stop-band and retains nothing further.
+    */
+  final case class BandResidents(ids: Array[Long], sigs: Array[Array[Byte]],
+      overflowed: Boolean)
+
+  /** A streamed near-dup pair (emitted once per colliding band — see
+    * `nearDupPairsStream`). */
+  final case class StreamPair(a: Long, b: Long, score: Double)
+
+  /** Streaming NEAR-DUP detection in ONE stateful pass: each doc's band
+    * postings carry its packed MinHash signature, group by the packed band
+    * key, and the state keeps ≤ `cap` resident (doc_id, sig) per key —
+    * so an arriving doc is verified against its band's residents IN-STATE
+    * (the signature is in hand; no separate verify join) and pairs above
+    * the matching threshold emit immediately, including across
+    * micro-batches. Stop-band policy carries over: a key exceeding `cap`
+    * residents is tombstoned and emits nothing further (boilerplate).
+    *
+    * Semantics vs the batch pipeline: a pair is emitted once per
+    * colliding band at ≥1 band match (cross-batch per-PAIR band counting
+    * would need unbounded pair state), so readers should
+    * `dropDuplicates("a","b")` at the sink; recall ≥ the batch ≥2-band
+    * rule, precision guarded by the same score threshold. State size is
+    * ∝ the band table (≤ cap entries per distinct band key) — bound
+    * retention with a state TTL at the query level where needed.
+    */
+  def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val bandsUdf = udf((sig: Array[Byte]) => {
+      val c = bcCfg.value
+      new Bands(c).bandHashes(new MinHasher(c).unpack(sig))
+    })
+    val postings = signatureStream(spark, docs, cfg).toDF()
+      .where(col("hashable"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+      .select((shiftleft(col("band_id").cast("long"), 32)
+          .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+        col("doc_id"), col("sig"))
+      .as[(Long, Long, Array[Byte])]
+    val threshold = cfg.matchingThreshold
+    val bits = cfg.signatureBits
+    postings.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[(Long, Long, Array[Byte])],
+            state: GroupState[BandResidents]) => {
+          var st = state.getOption.getOrElse(
+            BandResidents(Array.empty, Array.empty, overflowed = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StreamPair]
+          // deterministic within a batch: ascending doc_id arrival
+          val batch = rows.toArray.sortBy(_._2)
+          var bi = 0
+          while (bi < batch.length && !st.overflowed) {
+            val (_, id, sig) = batch(bi)
+            // re-delivery of a resident doc (duplicate url) is a no-op
+            if (!st.ids.contains(id)) {
+              var i = 0
+              while (i < st.ids.length) {
+                val s = MinHasher.score(st.sigs(i), sig, bits)
+                if (s > threshold)
+                  out += StreamPair(math.min(st.ids(i), id), math.max(st.ids(i), id), s)
+                i += 1
+              }
+              if (st.ids.length + 1 > cap)
+                st = BandResidents(Array.empty, Array.empty, overflowed = true)
+              else
+                st = BandResidents(st.ids :+ id, st.sigs :+ sig, overflowed = false)
+            }
+            bi += 1
+          }
+          state.update(st)
+          if (st.overflowed) Iterator.empty else out.iterator
+        })
+  }
+
   /** One output row per streamed doc: is it an exact duplicate of anything
     * seen earlier on the stream? */
   final case class DedupVerdict(url: String, doc_id: Long, is_dup: Boolean,

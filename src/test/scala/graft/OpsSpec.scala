@@ -432,6 +432,39 @@ class StreamingSpec extends SparkTestBase {
       "late duplicate must be flagged against batch-1 state")
   }
 
+  test("streaming near-dup pairs: in-state verification finds cross-batch pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("url", "text")
+    val pairs = graft.streaming.StreamingIndex.nearDupPairsStream(spark, stream)
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+
+    def fam(tag: String, tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    // batch 1: u1/u2 near-dups, u3 unrelated
+    mem.addData(("u1", fam("x", -1)), ("u2", fam("x", 5)), ("u3", fam("zz", -1)))
+    q.processAllAvailable()
+    // batch 2: u4 is another near-dup of the x-family — the pairs
+    // (u1,u4) and (u2,u4) must come from batch-1 STATE
+    mem.addData(("u4", fam("x", 30)))
+    q.processAllAvailable()
+    val got = spark.sql("select a, b, max(score) as s from neardup_stream group by a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    q.stop()
+
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    def key(x: String, y: String) =
+      (math.min(id(x), id(y)), math.max(id(x), id(y)))
+    assert(got.contains(key("u1", "u2")), s"in-batch pair missing: $got")
+    assert(got.contains(key("u1", "u4")) && got.contains(key("u2", "u4")),
+      s"cross-batch pairs missing: $got")
+    assert(got.keySet == Set(key("u1", "u2"), key("u1", "u4"), key("u2", "u4")),
+      s"unrelated doc must not pair: $got")
+    assert(got.values.forall(_ > 50.0))
+  }
+
   test("event-time window aggregation with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
