@@ -309,6 +309,43 @@ class DedupPipelineSpec extends SparkTestBase {
   }
 }
 
+class DedupJobSpec extends SparkTestBase {
+  test("spark-submit entry: end-to-end run, resume, and flag parsing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-job").toString
+    val corpus = CorpusGen.generate(spark, sf = 0.002, seed = 42L)
+    corpus.write.parquet(s"$tmp/input")
+
+    val args = graft.DedupJob.Args(
+      input = s"$tmp/input", output = s"$tmp/out",
+      checkpoint = Some(s"$tmp/ckpt"))
+    val (docs, clusters) = graft.DedupJob.run(spark, args)
+    assert(docs > 0 && clusters > 0 && clusters < docs)
+
+    // resumed re-run: identical output, signature stage reused from ledger
+    val sigBefore = new java.io.File(s"$tmp/ckpt").listFiles()
+      .filter(_.getName.startsWith("signatures")).map(_.lastModified()).toSeq
+    val (docs2, clusters2) = graft.DedupJob.run(spark,
+      args.copy(output = s"$tmp/out2"))
+    val sigAfter = new java.io.File(s"$tmp/ckpt").listFiles()
+      .filter(_.getName.startsWith("signatures")).map(_.lastModified()).toSeq
+    assert((docs2, clusters2) == (docs, clusters))
+    assert(sigBefore == sigAfter, "checkpointed signatures must be reused")
+    val a = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = spark.read.parquet(s"$tmp/out2").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a == b, "resumed job must emit identical clusters")
+
+    // flag parsing: options map through; unknown/missing args error loudly
+    val parsed = graft.DedupJob.parse(Array("--input", "i", "--output", "o",
+      "--text-only", "--jaccard-verify", "--max-band-group", "99"))
+    assert(!parsed.fromHtml && parsed.opts.jaccardVerify &&
+      parsed.opts.maxBandGroupSize == 99)
+    intercept[IllegalArgumentException] { graft.DedupJob.parse(Array("--input", "x")) }
+    intercept[IllegalArgumentException] { graft.DedupJob.parse(Array("--bogus")) }
+  }
+}
+
 class ResumeSpec extends SparkTestBase {
   test("ledger resume: stage outputs are reused and final output identical") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ledger").toString
