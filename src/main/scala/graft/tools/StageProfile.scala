@@ -31,6 +31,13 @@ object StageProfile {
     }
     val corpus = spark.read.parquet(path)
     val pipe = new DedupPipeline(spark)
+    // JIT/codegen warm-up: without it the first stages absorb compilation
+    // and the per-stage attribution inverts (a 32-core unwarmed profile
+    // measured SLOWER than 8-core — pure JIT noise)
+    val warmPath = "/tmp/graft-bench-corpus-sf0.05"
+    if (new java.io.File(s"$warmPath/_SUCCESS").exists())
+      pipe.run(spark.read.parquet(warmPath), fromHtml = true)
+        .select("cluster_id").distinct().count()
     val docs = pipe.extractStage(corpus, fromHtml = true)
     val sigs0 = timed("signatures") {
       val d = pipe.signatureStage(docs).toDF().cache()
