@@ -112,6 +112,25 @@ object Bench {
     }
   }
 
+  // Quiet-window reference points for the contention gate (measured on this
+  // host in an uncontended window, BENCH.md round-2/3 tables: STREAM-triad
+  // ladder 32t = 105.7 GB/s; warmed 8-thread kernel = 34,257 docs/s). The
+  // host is a shared VM whose available CPU swings >2× within minutes; the
+  // recorded bench line of rounds 1-3 was a lottery on that window. The gate
+  // measures BOTH probes (the r3 window had a free bus but stolen CPUs —
+  // membw alone under-detects), reports factor = max(quiet/measured, 1) in
+  // the JSON, and backs off before the timed dedup levels while contended.
+  private val QuietKernel8 = 34257.0
+  private val QuietBw32 = 105.7
+
+  /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). */
+  private def contentionProbe(): (Double, Double, Double) = {
+    val k8 = kernelRun(8, 6000)
+    val bw = graft.tools.MemBandwidth.probe(32)
+    val f = math.max(1.0, math.max(QuietKernel8 / k8, QuietBw32 / bw))
+    (k8, bw, f)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -120,6 +139,18 @@ object Bench {
     // (scaling efficiency is meaningless on a job dominated by fixed stage
     // scheduling costs): 25× the table sf → ~290k docs at sf0.1
     val corpusSf = math.min(10.0, math.max(0.05, 25 * sf))
+
+    // ---- contention gate: probe FIRST, back off once if the window is hot ----
+    warmKernel()
+    var (probeK8, probeBw32, contentionFactor) = contentionProbe()
+    var contentionRetried = false
+    if (contentionFactor > 1.5) {
+      System.err.println(f"[bench] contended window (factor $contentionFactor%.2f); backing off 120s")
+      contentionRetried = true
+      Thread.sleep(120000)
+      val p2 = contentionProbe()
+      if (p2._3 < contentionFactor) { probeK8 = p2._1; probeBw32 = p2._2; contentionFactor = p2._3 }
+    }
 
     // ---- headline operator queries on the driver-provided tables ----
     val headline = Seq("q_exact_dedup_groups", "q_token_count", "q_agg_rollup",
@@ -148,6 +179,14 @@ object Bench {
     val corpusPath = ensureCorpus(corpusSf)
     val warmupPath = ensureCorpus(0.05)
     val tinyWarmupPath = ensureCorpus(0.02) // narrow levels: cheap JIT warm
+    // re-probe just before the timed levels (the headline queries above take
+    // minutes — the window can have turned either way); wait out a hot
+    // window with bounded backoff rather than recording a lottery ticket
+    var waits = 0
+    while (waits < 3 && { val f = contentionProbe()._3; f > 1.5 }) {
+      System.err.println(s"[bench] window still contended before dedup levels; backing off 90s (${waits + 1}/3)")
+      Thread.sleep(90000); waits += 1
+    }
     val r8 = Seq.fill(2)(dedupRun(8, 8, corpusPath, warmupPath))
     val r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
     val (docs8, t8, _) = r8.minBy(_._2)
@@ -182,13 +221,21 @@ object Bench {
     // 8 vs 32 pinned threads (no Spark, no JVM allocation in the loop) —
     // the binding constraint behind the wide-pair decay
     val (bw8, bw32) = memBandwidth()
-    val bwEff = (bw32 / bw8) / 4.0
+    // guard the ratio: if a probe somehow still returned 0, emit null rather
+    // than NaN (invalid JSON) for the derived field
+    val bwEffStr = if (bw8 > 0) f"${(bw32 / bw8) / 4.0}%.3f" else "null"
+
+    // post-run contention check: the factor that actually applied to the
+    // timed levels (the pre-run gate can't see a window turning mid-run)
+    val (postK8, postBw32, postFactor) = contentionProbe()
+    val contention =
+      f""""contention":{"factor_pre":$contentionFactor%.2f,"factor_post":$postFactor%.2f,"kernel8_probe_pre":$probeK8%.0f,"membw32_probe_pre":$probeBw32%.1f,"kernel8_probe_post":$postK8%.0f,"membw32_probe_post":$postBw32%.1f,"quiet_ref_kernel8":$QuietKernel8%.0f,"quiet_ref_membw32":$QuietBw32%.1f,"backoff_retried":$contentionRetried}"""
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     // headline `value` = the FIXED local[32] level (never max across levels)
     val json =
-      f"""{"metric":"dedup_docs_per_sec","value":$tput32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.3f,"total_query_sec_cold":$coldTotal%.3f,"dedup":{"corpus_sf":$corpusSf,"docs":$docs32,"clusters":$clusters,"sec_local8":$t8%.3f,"sec_local32":$t32%.3f,"docs_per_sec_local8":$tput8%.1f,"docs_per_sec_local32":$tput32%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_pair":"local[1] vs local[4], pinned cores, best-of-2 both sides (constant per-core host resources; see BENCH.md)","scaling_docs":$d1,"sec_local1":$t1%.3f,"sec_local4":$t4%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,"runs_local1":[${r1s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local4":[${r4s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local8":[${r8.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local32":[${r32.map(r => f"${r._2}%.2f").mkString(",")}],"kernel_docs_per_sec_8t":$k8%.0f,"kernel_docs_per_sec_32t":$k32%.0f,"kernel_scaling_efficiency":$kernelEff%.3f,"membw_8t_gbs":$bw8%.1f,"membw_32t_gbs":$bw32%.1f,"membw_scaling_8_32":$bwEff%.3f}}"""
+      f"""{"metric":"dedup_docs_per_sec","value":$tput32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.3f,"total_query_sec_cold":$coldTotal%.3f,$contention,"dedup":{"corpus_sf":$corpusSf,"docs":$docs32,"clusters":$clusters,"sec_local8":$t8%.3f,"sec_local32":$t32%.3f,"docs_per_sec_local8":$tput8%.1f,"docs_per_sec_local32":$tput32%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_pair":"local[1] vs local[4], pinned cores, best-of-2 both sides (constant per-core host resources; see BENCH.md)","scaling_docs":$d1,"sec_local1":$t1%.3f,"sec_local4":$t4%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,"runs_local1":[${r1s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local4":[${r4s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local8":[${r8.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local32":[${r32.map(r => f"${r._2}%.2f").mkString(",")}],"kernel_docs_per_sec_8t":$k8%.0f,"kernel_docs_per_sec_32t":$k32%.0f,"kernel_scaling_efficiency":$kernelEff%.3f,"membw_8t_gbs":$bw8%.1f,"membw_32t_gbs":$bw32%.1f,"membw_scaling_8_32":$bwEffStr}}"""
     println(json)
   }
 
@@ -206,43 +253,59 @@ object Bench {
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
         proc.waitFor()
-        out.linesIterator.filter(_.startsWith("MEMBW"))
+        val parsed = out.linesIterator.filter(_.startsWith("MEMBW"))
           .map(_.split("aggregate=")(1).trim.split(" ")(0).toDouble)
           .foldLeft(0.0)(math.max)
-      } catch { case _: Throwable => 0.0 }
+        // a fork that produced no MEMBW line (e.g. OOM-killed) is a failure
+        // too — 0.0 would poison the scaling ratio into NaN downstream
+        if (parsed > 0) parsed else graft.tools.MemBandwidth.probe(threads)
+      } catch {
+        // no taskset / fork failure: run the triad in-process as documented
+        case _: Throwable => graft.tools.MemBandwidth.probe(threads)
+      }
     }
     (run(8), run(32))
   }
 
-  /** Pure-JVM thread scaling of the per-doc kernel: docs/sec at 8 and 32
-    * threads, no Spark involved.
-    */
-  private def kernelScaling(): (Double, Double) = {
+  // ---- pure-JVM kernel workload (shared by the scaling pair and the
+  // contention probe): synthetic docs + a one-time JIT warm ----
+  private lazy val kernelTexts: Array[String] = {
     val rng = new java.util.Random(1)
     def letters(v0: Long): String = {
       var v = math.abs(v0); val sb = new StringBuilder
       do { sb += ('a' + (v % 26)).toChar; v /= 26 } while (v > 0)
       sb.toString
     }
-    val texts = (0 until 200).map { c =>
+    (0 until 200).map { c =>
       (0 until 3).map(_ => (0 until 80)
         .map(_ => s"${letters(c)}q${letters(rng.nextInt(4000))}").mkString(" ")).mkString("\n\n")
     }.toArray
-    val warm = new graft.pipeline.DocSig.Kernel(graft.kernel.GraftConfig.default)
-    for (i <- 0 until 8000) warm.compute(s"w$i", texts(i % texts.length))
-    def run(n: Int): Double = {
-      val perThread = 20000
-      val t0 = System.nanoTime()
-      val threads = (0 until n).map { t =>
-        new Thread(() => {
-          val k = new graft.pipeline.DocSig.Kernel(graft.kernel.GraftConfig.default)
-          var i = 0
-          while (i < perThread) { k.compute(s"u$t-$i", texts((t * 31 + i) % texts.length)); i += 1 }
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      n.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
-    }
-    (run(8), run(32))
   }
+
+  private lazy val warmKernelOnce: Unit = {
+    val warm = new graft.pipeline.DocSig.Kernel(graft.kernel.GraftConfig.default)
+    for (i <- 0 until 8000) warm.compute(s"w$i", kernelTexts(i % kernelTexts.length))
+  }
+  private def warmKernel(): Unit = warmKernelOnce
+
+  /** docs/sec of the per-doc kernel on `n` plain JVM threads (no Spark). */
+  private def kernelRun(n: Int, perThread: Int): Double = {
+    warmKernel()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        val k = new graft.pipeline.DocSig.Kernel(graft.kernel.GraftConfig.default)
+        var i = 0
+        while (i < perThread) { k.compute(s"u$t-$i", kernelTexts((t * 31 + i) % kernelTexts.length)); i += 1 }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    n.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Pure-JVM thread scaling of the per-doc kernel: docs/sec at 8 and 32
+    * threads, no Spark involved.
+    */
+  private def kernelScaling(): (Double, Double) =
+    (kernelRun(8, 20000), kernelRun(32, 20000))
 }

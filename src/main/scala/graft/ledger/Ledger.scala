@@ -91,7 +91,7 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
         .withColumn("ts", current_timestamp())
       summary.write.mode("append").parquet(s"$root/_metrics")
       perPartition.unpersist()
-    } catch { case _: Throwable => () } // metrics are best-effort
+    } catch { case scala.util.control.NonFatal(_) => () } // metrics are best-effort; fatal errors propagate
   }
 
   def metrics(): Option[DataFrame] =

@@ -69,8 +69,8 @@ object MatchReportOps {
 
     val w = col("binweight").cast("long")
     val weighted = w * col("score").cast("long") // exact: ≤ 100·binweight
-    // integer DIV (not `/`, which is double in Spark SQL): 840 is divisible
-    // by every adjustment in {1..8}, so this stays exact
+    // integer DIV (not `/`, which is double in Spark SQL): 27720 = lcm(1..12)
+    // is divisible by every clamped adjustment in {1..12}, so this stays exact
     val freqWeighted = expr(
       "(CAST(binweight AS BIGINT) * CAST(score AS BIGINT) * 27720) DIV CAST(adjustment AS BIGINT)")
     val nonlib = col("is_lib") === 0

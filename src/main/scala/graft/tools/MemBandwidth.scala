@@ -8,50 +8,59 @@ package graft.tools
   * measures exactly where that bus saturates — the ceiling any
   * shuffle/exchange-bound stage inherits at wide parallelism.
   *
-  * Run pinned, like the bench levels: `taskset -c 0-(N-1)`.
+  * Run pinned, like the bench levels: `taskset -c 0-(N-1)`. `triadGbs` is
+  * also callable in-process (Bench's fork-failure fallback and its
+  * contention pre-probe use it directly).
   */
 object MemBandwidth {
-  def main(args: Array[String]): Unit = {
-    val mbPerThread = if (args.nonEmpty) args(0).toInt else 64
+
+  /** One aggregate-triad measurement at `threads` threads, GB/s. */
+  def triadGbs(threads: Int, mbPerThread: Int = 64): Double = {
     val n = mbPerThread * 1024 * 1024 / 8 / 3 // three arrays per thread
     val reps = 8
-
-    def triad(threads: Int): Double = {
-      val barrier = new java.util.concurrent.CyclicBarrier(threads + 1)
-      val done = new java.util.concurrent.CountDownLatch(threads)
-      val sink = new java.util.concurrent.atomic.DoubleAdder
-      for (_ <- 0 until threads) {
-        new Thread(() => {
-          val a = new Array[Double](n)
-          val b = Array.tabulate(n)(i => i * 0.5)
-          val c = Array.tabulate(n)(i => i * 0.25)
-          barrier.await()
-          var r = 0
-          while (r < reps) {
-            var i = 0
-            while (i < n) { a(i) = b(i) + 1.5 * c(i); i += 1 }
-            r += 1
-          }
-          sink.add(a(n - 1))
-          done.countDown()
-        }).start()
-      }
-      barrier.await()
-      val t0 = System.nanoTime()
-      done.await()
-      val secs = (System.nanoTime() - t0) / 1e9
-      // triad moves 3 arrays × 8 bytes × n × reps per thread (2 reads + 1 write)
-      val bytes = 3.0 * 8 * n * reps * threads
-      if (sink.sum() == Double.MinValue) println("impossible")
-      bytes / secs / 1e9
+    val barrier = new java.util.concurrent.CyclicBarrier(threads + 1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val sink = new java.util.concurrent.atomic.DoubleAdder
+    for (_ <- 0 until threads) {
+      new Thread(() => {
+        val a = new Array[Double](n)
+        val b = Array.tabulate(n)(i => i * 0.5)
+        val c = Array.tabulate(n)(i => i * 0.25)
+        barrier.await()
+        var r = 0
+        while (r < reps) {
+          var i = 0
+          while (i < n) { a(i) = b(i) + 1.5 * c(i); i += 1 }
+          r += 1
+        }
+        sink.add(a(n - 1))
+        done.countDown()
+      }).start()
     }
+    barrier.await()
+    val t0 = System.nanoTime()
+    done.await()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // triad moves 3 arrays × 8 bytes × n × reps per thread (2 reads + 1 write)
+    val bytes = 3.0 * 8 * n * reps * threads
+    if (sink.sum() == Double.MinValue) println("impossible")
+    bytes / secs / 1e9
+  }
 
-    triad(2) // warm JIT
+  /** Warmed best-of-2 at one thread count — the probe the bench embeds. */
+  def probe(threads: Int, mbPerThread: Int = 64): Double = {
+    triadGbs(2, mbPerThread) // warm JIT
+    Seq.fill(2)(triadGbs(threads, mbPerThread)).max
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mbPerThread = if (args.nonEmpty) args(0).toInt else 64
+    triadGbs(2, mbPerThread) // warm JIT
     // second arg: probe a single thread count (bench fork mode); default:
     // the full saturation ladder
     val levels = if (args.length > 1) Seq(args(1).toInt) else Seq(1, 4, 8, 16, 32)
     for (t <- levels) {
-      val gbs = Seq.fill(2)(triad(t)).max
+      val gbs = Seq.fill(2)(triadGbs(t, mbPerThread)).max
       println(f"MEMBW threads=$t%-2d aggregate=$gbs%7.2f GB/s")
     }
   }
