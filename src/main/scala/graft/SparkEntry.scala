@@ -160,9 +160,12 @@ object SparkEntry {
       val cfg = graft.kernel.GraftConfig.default
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val ledger = new graft.ledger.Ledger(s, s"/tmp/graft-qm-index-$tag", cfg.configHash)
+      // snapshot stamp = the corpus parquet's mtime: a regenerated corpus at
+      // the same path changes the stamp and forces an index rebuild
+      val snap = new java.io.File(s"$dir/documents.parquet").lastModified.toString
       val (sigs, bands) = QueryMatch.buildOrLoadIndex(
         s, d.select(concat(lit("id-"), col("doc_id")).as("url"), col("text")),
-        ledger, corpusTag = tag, cfg)
+        ledger, corpusTag = tag, cfg, corpusSnapshot = snap)
       QueryMatch.topMatchesFromIndex(s, sigs, bands, queryText, k = 10)
     }),
     "q_para_hash" -> ((s, dir) => MaintenanceOps.paragraphHashes(docs(s, dir))),

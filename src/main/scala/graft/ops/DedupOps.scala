@@ -109,18 +109,7 @@ object DedupOps {
     */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
       k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame = {
-    import spark.implicits._
-    val cfg = GraftConfig.default.copy(kGram = k)
-    val bcCfg = spark.sparkContext.broadcast(cfg)
-    val shUdf = udf((text: String) => {
-      val c = bcCfg.value
-      val kg = new KGramShingler(c, 1)
-      kg.generateSequences(TextNorm.tokenize(if (text == null) "" else text))
-        .distinct.map(graft.hash.Murmur3.hashU(_, 0)).toArray
-    })
-    val sets = docs.select(col("doc_id"), shUdf(col("text")).as("shingles"))
-      .withColumn("set_size", size(col("shingles")))
-      .where(col("set_size") > 0)
+    val sets = shingleSets(spark, docs, k)
     val postings = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
     // canonical order = (df asc, hash asc): global, deterministic, and it
@@ -150,15 +139,95 @@ object DedupOps {
           col("y.set_size") * lit(threshold) <= col("x.set_size"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
+    verifyJaccard(cand, ordered.select(col("doc_id"), col("ord").as("shingles"),
+      col("set_size")), threshold)
+  }
+
+  /** The PLAIN postings self-join alternative to `ngramJaccardPairs`: every
+    * sub-cap shingle generates candidates (no canonical ordering, no prefix
+    * slicing — so no groupBy/sort_array pass), with the same stop-shingle
+    * cap, the same exact-preserving length filter, and the same exact
+    * verification on the full arrays — hence BIT-IDENTICAL output (the
+    * prefix filter is lossless given verification; asserted by test).
+    *
+    * When to use which (the measured crossover, see BENCH.md round 4): on
+    * DENSE-VOCAB corpora (shingle df roughly uniform — the synthetic bench
+    * tables, avg df ≈ 50) the prefix pass prunes little and its extra
+    * df-join + per-doc sort costs more than the join it saves → plain wins.
+    * On POWER-LAW web text (a heavy boilerplate tail), join cost is
+    * Σ_sh df(sh)² and the prefix filter's whole point is keeping
+    * high-df shingles out of the join side → prefix wins. `ngramJaccardAuto`
+    * dispatches on a one-row skew statistic.
+    */
+  def ngramJaccardPairsPlain(spark: SparkSession, docs: DataFrame,
+      k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame = {
+    val sets = shingleSets(spark, docs, k).cache()
+    val postings = sets.select(col("doc_id"), col("set_size"), explode(col("shingles")).as("sh"))
+    val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val keep = postings.join(dfTab.where(col("df") <= maxPostings).select("sh"), Seq("sh"))
+    val cand = keep.as("x").join(keep.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.set_size") * lit(threshold) <= col("y.set_size") &&
+          col("y.set_size") * lit(threshold) <= col("x.set_size"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Dispatches prefix-filtered vs plain on a one-row df-skew probe:
+    * E[df of a random posting] = Σdf²/Σdf. On power-law text that
+    * expectation is dominated by the boilerplate tail (≫ mean df) and the
+    * prefix filter pays for itself; on dense-vocab corpora it stays near
+    * the mean and the plain join wins (measured crossover in BENCH.md r4).
+    */
+  def ngramJaccardAuto(spark: SparkSession, docs: DataFrame,
+      k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000,
+      skewCutoff: Double = 8.0): DataFrame = {
+    val (eDf, meanDf) = ngramJaccardAutoStat(spark, docs, k)
+    val skew = eDf / math.max(1.0, meanDf)
+    if (skew >= skewCutoff) ngramJaccardPairs(spark, docs, k, threshold, maxPostings)
+    else ngramJaccardPairsPlain(spark, docs, k, threshold, maxPostings)
+  }
+
+  /** (E[df of a random posting] = Σdf²/Σdf, mean df) — the one-row probe
+    * `ngramJaccardAuto` dispatches on. */
+  def ngramJaccardAutoStat(spark: SparkSession, docs: DataFrame, k: Int = 3): (Double, Double) = {
+    val sets = shingleSets(spark, docs, k)
+    val postings = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val stat = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg((sum(col("df") * col("df")) / sum(col("df"))).as("e_df"),
+        avg("df").as("mean_df"))
+      .collect()(0)
+    (stat.getDouble(0), stat.getDouble(1))
+  }
+
+  /** One shingle-set row per doc: (doc_id, shingles: distinct hashed
+    * k-grams, set_size > 0). */
+  private def shingleSets(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    val cfg = GraftConfig.default.copy(kGram = k)
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val shUdf = udf((text: String) => {
+      val c = bcCfg.value
+      val kg = new KGramShingler(c, 1)
+      kg.generateSequences(TextNorm.tokenize(if (text == null) "" else text))
+        .distinct.map(graft.hash.Murmur3.hashU(_, 0)).toArray
+    })
+    docs.select(col("doc_id"), shUdf(col("text")).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+      .where(col("set_size") > 0)
+  }
+
+  /** Exact full-array verification shared by both candidate generators:
+    * `sets` must carry (doc_id, shingles, set_size). */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(ordered.select(col("doc_id").as("doc_id_a"), col("ord").as("ord_a"),
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("shingles").as("ord_a"),
         col("set_size").as("size_a")), "doc_id_a")
-      .join(ordered.select(col("doc_id").as("doc_id_b"), col("ord").as("ord_b"),
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("shingles").as("ord_b"),
         col("set_size").as("size_b")), "doc_id_b")
       .withColumn("inter", size(array_intersect(col("ord_a"), col("ord_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
-  }
 }

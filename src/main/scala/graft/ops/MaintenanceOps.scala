@@ -17,35 +17,116 @@ object MaintenanceOps {
     input.join(signatures.select(keyCol), Seq(keyCol), "left_anti")
 
   /** Incremental dedup (M7 generalized to pair production, ≅ the
-    * reference's addBinarySample → matchSample flow where only the NEW
-    * sample is disassembled/hashed): signs ONLY `newDocs` (url, text) —
-    * the signature kernel is the pipeline's dominant CPU cost — reuses the
-    * persisted signature table for the rest of the corpus, and returns
-    * merged-channel dup pairs touching at least one new doc. Pair
-    * semantics are EXACTLY the full-batch `dupPairsFromSigs` on the
-    * unioned corpus (same caps, same channels — asserted by test), so
-    * repeated incremental batches converge to the batch answer. Scale
-    * note: banding of old signatures is a cheap explode over the persisted
-    * table here; with the band table also persisted (Ledger /
-    * band-bucketed Iceberg layout, see `rebuildBandIndex` and
-    * `QueryMatch.buildOrLoadIndex`) the old side becomes a co-located read
-    * instead.
+    * reference's addBinarySample → matchSample flow,
+    * /root/reference/mcrit/storage/MongoDbStorage.py:897-930): signs ONLY
+    * `newDocs` (url, text) — the signature kernel is the pipeline's
+    * dominant CPU cost — and PROBES the old corpus instead of re-running
+    * it: candidates are generated exclusively from band keys containing ≥1
+    * new doc (see `DedupPipeline.probeDupPairs`), so candidate-shuffle
+    * volume scales with the batch, not the corpus. Pair semantics are
+    * EXACTLY the full-batch `dupPairsFromSigs` on the unioned corpus
+    * restricted to pairs touching a new doc (same caps, same channels —
+    * asserted by test), so repeated incremental batches converge to the
+    * batch answer. Pass `oldBands` (the persisted band table from `run()`'s
+    * ledger stage or `buildOrLoadDedupIndex`) to skip even the linear
+    * re-banding of the old signature table.
     */
   def incrementalDupPairs(spark: SparkSession, oldSigs: DataFrame, newDocs: DataFrame,
       cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
-      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions())
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions(),
+      oldBands: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
     val newSigs = pipe.signatureStage(pipe.extractStage(newDocs, fromHtml = false))
       .toDF().cache()
-    val pairs = pipe.dupPairsFromSigs(oldSigs.unionByName(newSigs))
-    val newIds = newSigs.select("doc_id")
-    val touchingNew = pairs
-      .join(newIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
-      .unionByName(pairs
-        .join(newIds.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
-        .join(newIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti"))
-    (newSigs, touchingNew)
+    (newSigs, pipe.probeDupPairs(oldSigs, newSigs, oldBands))
+  }
+
+  /** Build — or resume from the checkpoint ledger — the persisted
+    * signature + rep-only band index a probe-style incremental run needs
+    * for its old side: the FULL DocSig table (incl. non-hashable rows — the
+    * exact channel needs them) and the rep-banded band table including the
+    * simhash chunk tables when that channel is on. Descriptors fold in the
+    * kernel fingerprint, so a kernel change rebuilds instead of silently
+    * serving stale postings.
+    */
+  def buildOrLoadDedupIndex(spark: SparkSession, docs: => DataFrame,
+      ledger: graft.ledger.Ledger, corpusTag: String,
+      cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions())
+      : (DataFrame, DataFrame) = {
+    val params = s"kernel=${graft.pipeline.DocSig.kernelFingerprint(cfg)}," +
+      s"corpus=$corpusTag,sh=${opts.simHashChannel}"
+    val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
+    val sigDesc = ledger.descriptor("dedup_sigs", params, Nil)
+    val sigs = ledger.stage("dedup_sigs", sigDesc) {
+      pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF()
+    }
+    val bands = ledger.stage("dedup_bands",
+        ledger.descriptor("dedup_bands", params, Seq(sigDesc))) {
+      val (reps, _) = pipe.exactGroups(sigs)
+      val hashable = sigs.where(col("hashable"))
+      val repSigs = hashable
+        .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .unionByName(hashable.where(!col("has_exact")))
+      val mh = pipe.bandStage(repSigs)
+      val all = if (opts.simHashChannel) mh.unionByName(pipe.simhashBandStage(repSigs)) else mh
+      // co-locate by band key: the persisted probe layout (Iceberg
+      // `band_id, bucket(band_hash)` partitioning analog)
+      val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      all.repartition(n, col("band_id"), col("band_hash"))
+    }
+    (sigs, bands)
+  }
+
+  /** Probe-style incremental dedup against a LEDGER-PERSISTED index: the
+    * old side is a co-located read of the materialized signature/band
+    * parquet — `oldDocs` is only evaluated if the index was never built
+    * (by-name; an up-to-date ledger never touches it, asserted by the
+    * poisoned-corpus test).
+    */
+  def incrementalDupPairsFromIndex(spark: SparkSession, oldDocs: => DataFrame,
+      newDocs: DataFrame, ledger: graft.ledger.Ledger, corpusTag: String,
+      cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions())
+      : (DataFrame, DataFrame) = {
+    val (oldSigs, oldBands) = buildOrLoadDedupIndex(spark, oldDocs, ledger, corpusTag, cfg, opts)
+    incrementalDupPairs(spark, oldSigs, newDocs, cfg, opts, Some(oldBands))
+  }
+
+  /** J6 second half — MODIFY/RENAME cascade (≅ the reference's family/
+    * sample renames cascading through functions and the pichash index,
+    * /root/reference/mcrit/storage/MemoryStorage.py:183-328,
+    * MongoDbStorage.py:423-571): renaming a url re-keys its doc_id (the id
+    * is derived from the url) and rewrites the signature AND band tables
+    * consistently in one pass each. Content-derived columns (sig, simhash,
+    * exact hashes) are untouched — the content didn't change — so the
+    * renamed tables are bit-identical to re-running the pipeline on the
+    * renamed corpus (asserted by test). `renames` is a small driver-side
+    * map (an admin operation, like the reference's); new urls must not
+    * collide with existing urls (that would be a merge, not a rename).
+    */
+  def renameDocs(spark: SparkSession, sigs: DataFrame, bands: DataFrame,
+      renames: Map[String, String]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    require(renames.values.toSet.size == renames.size, "rename targets must be distinct")
+    val clashes = sigs.where(col("url").isInCollection(renames.values.toSet))
+      .limit(1).count()
+    require(clashes == 0, "rename target url already exists (merge, not rename)")
+    val newIdUdf = udf((u: String) => graft.hash.SimHash.hash64("doc:" + u))
+    val m = renames.toSeq.toDF("url", "new_url")
+    val sigs2 = sigs.join(broadcast(m), Seq("url"), "left")
+      .withColumn("doc_id",
+        when(col("new_url").isNotNull, newIdUdf(col("new_url"))).otherwise(col("doc_id")))
+      .withColumn("url", coalesce(col("new_url"), col("url")))
+      .drop("new_url")
+    // doc_id rekey map for the derived tables, from the ORIGINAL sigs
+    val idMap = sigs.join(broadcast(m), Seq("url"))
+      .select(col("doc_id"), newIdUdf(col("new_url")).as("new_doc_id"))
+    val bands2 = bands.join(broadcast(idMap), Seq("doc_id"), "left")
+      .withColumn("doc_id", coalesce(col("new_doc_id"), col("doc_id")))
+      .drop("new_doc_id")
+    (sigs2, bands2)
   }
 
   /** L5/J6 analog — delete docs: cascade the removal through the signature

@@ -41,9 +41,9 @@ object QueryMatch {
     topMatchesFromIndex(spark, sigs, bands, queryText, k, cfg, requireBands)
   }
 
-  /** Bump when a kernel change intentionally alters signature/band outputs:
-    * it salts the ledger descriptors below so persisted indexes from an older
-    * kernel are rebuilt instead of silently probed.
+  /** Bump when an index SEMANTICS change (not a kernel-output change — the
+    * kernel fingerprint below catches those automatically) invalidates
+    * persisted indexes.
     */
   val IndexVersion = 3
 
@@ -54,10 +54,20 @@ object QueryMatch {
     * (corpus, config, kernel version); every subsequent query probes the
     * stored band table exactly like the reference probes its Mongo band
     * index (/root/reference/mcrit/matchers/MatcherQuery.py:19-52).
+    *
+    * Descriptor freshness: the params fold in (a) the KERNEL FINGERPRINT —
+    * a fixed probe doc signed by the live kernel (DocSig.kernelFingerprint),
+    * so any output-changing kernel edit forces a rebuild without a version
+    * bump — and (b) `corpusSnapshot`, the caller's stamp for the corpus
+    * CONTENT at this tag (Iceberg snapshot id; parquet mtime for local
+    * stand-ins). A corpus regenerated at the same path with a new stamp
+    * rebuilds instead of silently probing stale postings.
     */
   def buildOrLoadIndex(spark: SparkSession, docs: => DataFrame, ledger: graft.ledger.Ledger,
-      corpusTag: String, cfg: GraftConfig = GraftConfig.default): (DataFrame, DataFrame) = {
-    val params = s"v=$IndexVersion,corpus=$corpusTag"
+      corpusTag: String, cfg: GraftConfig = GraftConfig.default,
+      corpusSnapshot: String = ""): (DataFrame, DataFrame) = {
+    val params = s"v=$IndexVersion,kernel=${DocSig.kernelFingerprint(cfg)}," +
+      s"corpus=$corpusTag,snap=$corpusSnapshot"
     val sigDesc = ledger.descriptor("qm_sigs", params, Nil)
     val sigs = ledger.stage("qm_sigs", sigDesc) {
       val pipe = new DedupPipeline(spark, cfg)
@@ -79,7 +89,8 @@ object QueryMatch {
   def topMatchesFromIndex(spark: SparkSession, sigs: DataFrame, bands: DataFrame,
       queryText: String, k: Int = 10,
       cfg: GraftConfig = GraftConfig.default,
-      requireBands: Int = 2): DataFrame = {
+      requireBands: Int = 2,
+      scope: Option[DataFrame] = None): DataFrame = {
     val q = signQuery(queryText, cfg)
     if (q.bandHashes.isEmpty) return spark.emptyDataFrame
 
@@ -87,16 +98,41 @@ object QueryMatch {
     val queryBands = q.bandHashes.zipWithIndex
       .map { case (h, i) => (i, h) }.toSeq
     val qb = spark.createDataFrame(queryBands).toDF("band_id", "band_hash")
-    val candidates = bands.join(broadcast(qb), Seq("band_id", "band_hash"))
+    val probed = bands.join(broadcast(qb), Seq("band_id", "band_hash"))
+    // VsGroup scoping (≅ MatcherVsGroup intersecting candidates with the
+    // target group, /root/reference/mcrit/matchers/MatcherVsGroup.py:57-66):
+    // restrict candidates to the target doc set BEFORE counting bands — a
+    // per-doc filter, so scoped ≡ unscoped-unlimited ∩ scope, re-topped
+    val scoped = scope match {
+      case Some(ids) => probed.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => probed
+    }
+    val candidates = scoped
       .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
       .where(col("n_bands") >= requireBands)
 
-    val qSig = q.sig
-    val exact = q.exactHash
+    scoreCandidates(candidates, sigs, q, cfg, k)
+  }
+
+  /** 1-vs-GROUP matching (≅ the reference's MatcherVsGroup,
+    * /root/reference/mcrit/matchers/MatcherVsGroup.py:57-66): top-k matches
+    * for a query restricted to a target doc set (`group`: any frame with a
+    * `doc_id` column). Equivalent to the unscoped match filtered to the
+    * group and re-topped — asserted by test — but the semi-join scopes the
+    * probe itself, so no off-group candidate is ever verified.
+    */
+  def topMatchesVsGroup(spark: SparkSession, sigs: DataFrame, bands: DataFrame,
+      queryText: String, group: DataFrame, k: Int = 10,
+      cfg: GraftConfig = GraftConfig.default,
+      requireBands: Int = 2): DataFrame =
+    topMatchesFromIndex(spark, sigs, bands, queryText, k, cfg, requireBands, Some(group))
+
+  private def scoreCandidates(candidates: DataFrame, sigs: DataFrame,
+      q: QuerySig, cfg: GraftConfig, k: Int): DataFrame = {
     candidates.join(sigs, "doc_id")
       .withColumn("score",
-        graft.expr.SignatureScore.sigScore(col("sig"), lit(qSig)))
-      .withColumn("exact_match", col("has_exact") && col("exact_hash") === lit(exact))
+        graft.expr.SignatureScore.sigScore(col("sig"), lit(q.sig)))
+      .withColumn("exact_match", col("has_exact") && col("exact_hash") === lit(q.exactHash))
       .where(col("score") > lit(cfg.matchingThreshold) || col("exact_match"))
       .select(col("url"), col("doc_id"), col("score"), col("n_bands"), col("exact_match"))
       .orderBy(desc("score"), asc("doc_id"))

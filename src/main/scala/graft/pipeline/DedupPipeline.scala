@@ -52,8 +52,11 @@ final case class PipelineOptions(
     // detect+repair 64-bit doc_id birthday collisions (≈27k expected at the
     // 10^12-doc design point) — one cheap partial-aggregated count shuffle
     auditIds: Boolean = true,
-    // map-side heavy-hitter exclusion of over-cap band keys before the
-    // candidate shuffle (see pairsFromBands) — for mega-hot-band corpora
+    // opt-in EXACT two-phase heavy-hitter exclusion before the candidate
+    // shuffle: catches over-cap band keys whose postings are spread so thin
+    // that no single map partition proves them hot. Mega-hot bands
+    // (provably over cap within one partition) are ALWAYS auto-excluded,
+    // flag or not — see pairsFromBands' provably-hot pass.
     hotBandPrefilter: Boolean = false,
     numPartitions: Int = 0 // 0 = leave to session default
 )
@@ -115,6 +118,29 @@ object DocSig {
   /** Shared by the batch pipeline and the streaming incremental indexer. */
   def compute(c: GraftConfig, hasher: MinHasher, kgram: KGramShingler)(
       url: String, text: String): DocSig = new Kernel(c).compute(url, text)
+
+  /** Deterministic fingerprint of the kernel's OUTPUT behavior under `c`:
+    * one fixed probe document signed with the live kernel, hashed. Any
+    * change to tokenization, shingling, MinHash, SimHash or exact hashing
+    * that alters outputs changes this stamp — persisted-index descriptors
+    * fold it in so a kernel change forces a rebuild without a hand-bumped
+    * version (see QueryMatch.buildOrLoadIndex).
+    */
+  def kernelFingerprint(c: GraftConfig): String = {
+    val probe =
+      """the quick brown fox jumps over the lazy dog while seventeen green
+        |bottles hang quietly on the old stone wall near the harbor
+        |
+        |every kernel change that alters tokenization shingling minhash or
+        |simhash output must move this fingerprint to invalidate indexes""".stripMargin
+    val d = new Kernel(c).compute("kernel-fingerprint-probe", probe)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(d.sig)
+    val buf = java.nio.ByteBuffer.allocate(24)
+    buf.putLong(d.simhash).putLong(d.exact_hash).putLong(d.exact_hash2)
+    md.update(buf.array())
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
 }
 
 final class DedupPipeline(
@@ -393,6 +419,128 @@ final class DedupPipeline(
     dupPairsFromSigs(sigs0)
   }
 
+  /** PROBE-ONLY incremental pair production — the scale-correct shape for
+    * "a small new batch lands on a 10^12-doc corpus" (≅ the reference's
+    * addBinarySample → matchSample flow, which probes ONLY the new sample's
+    * band hashes against the stored band index,
+    * /root/reference/mcrit/storage/MongoDbStorage.py:897-930; it never
+    * re-runs candidate generation over the resident corpus).
+    *
+    * Output contract (tested batch-equivalent): EXACTLY
+    * `dupPairsFromSigs(oldSigs0 ∪ newSigs0)` restricted to pairs touching
+    * ≥1 new doc — same caps, same channels, same scores. Candidate work is
+    * ∝ the new batch, never the corpus:
+    *
+    *  - Exact channel: old signatures are probed on the new batch's 128-bit
+    *    exact hashes (a broadcast semi-join ≡ point lookups on an
+    *    Iceberg bloom/zorder layout); group reps are re-elected over the
+    *    touched groups only.
+    *  - LSH channel: only NEW reps band. The old band table — passed in
+    *    from its persisted form, or derived here with one linear rep-banding
+    *    pass over `oldSigs0` when absent — is semi-joined on the new reps'
+    *    band keys (broadcast: ~26 keys per new rep), so every candidate
+    *    group contains a new doc by construction; the group membership for
+    *    a probed key equals the full-batch group (old postings + new reps),
+    *    hence stop-band cap and ≥2-band semantics are bit-identical.
+    *  - Rep re-election across the old/new boundary (a new doc with a
+    *    smaller doc_id joins an old exact group): the replaced old rep's
+    *    postings are anti-joined out and the new rep's are emitted fresh —
+    *    the signatures are identical (same content), so this is a pure
+    *    doc_id rekey, exactly what the full batch would have banded.
+    *
+    * `oldBands`, when given, must be the rep-only band table of `oldSigs0`
+    * under the same cfg/opts (minhash bands plus the simhash chunk tables
+    * when `simHashChannel` is on) — i.e. what `run()`'s "bands" ledger stage
+    * or `MaintenanceOps.buildOrLoadDedupIndex` persists.
+    *
+    * Assumes `newSigs0` doc_ids are disjoint from the old corpus (re-sent
+    * urls should be excluded first via `MaintenanceOps.newDocs`).
+    */
+  def probeDupPairs(oldSigs0: DataFrame, newSigs0: DataFrame,
+      oldBands: Option[DataFrame] = None): DataFrame = {
+    val newIds = newSigs0.select("doc_id")
+    val (candInput, exactEdges) = probeParts(oldSigs0, newSigs0, oldBands)
+
+    // ---- candidate generation over the probed subset only ----
+    val candidates = candidateStage(candInput, cfg.bandMatchesRequired)
+    val candTouchingNew = candidates
+      .join(broadcast(newIds).withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .unionByName(candidates
+        .join(broadcast(newIds).withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+        .join(broadcast(newIds).withColumnRenamed("doc_id", "a"), Seq("a"), "left_anti"))
+
+    val allHashable = oldSigs0.where(col("hashable")).unionByName(newSigs0.where(col("hashable")))
+    val lsh = verifyStage(candTouchingNew, allHashable)
+      .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
+    DedupPipeline.mergeChannels(lsh, exactEdges)
+  }
+
+  /** The probe plan's two inputs — (candidate band postings, exact edges
+    * touching new) — split out so tests can assert the candidate volume
+    * scales with the batch, not the corpus.
+    */
+  private[graft] def probeParts(oldSigs0: DataFrame, newSigs0: DataFrame,
+      oldBands: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val newIds = newSigs0.select("doc_id")
+
+    // ---- exact channel, touched groups only ----
+    val newExact = newSigs0.where(col("has_exact"))
+    val touchedHashes = newExact.select("exact_hash", "exact_hash2").distinct()
+    val oldTouched = oldSigs0.where(col("has_exact"))
+      .join(broadcast(touchedHashes), Seq("exact_hash", "exact_hash2"), "left_semi")
+    val exactInput = oldTouched.unionByName(newExact)
+    val (touchedReps, exactEdgesAll) = exactGroups(exactInput)
+    val exactEdges = exactEdgesAll
+      .join(broadcast(newIds).withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+      .unionByName(exactEdgesAll
+        .join(broadcast(newIds).withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+        .join(broadcast(newIds).withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti"))
+
+    // ---- rep re-election bookkeeping ----
+    // old-state rep per touched group (what the old band table banded)
+    val oldReps = oldTouched.groupBy("exact_hash", "exact_hash2")
+      .agg(min("doc_id").as("old_rep"))
+    // groups whose union rep differs from their old rep: the union rep is a
+    // new doc; the old rep's postings must be rekeyed (drop + fresh emit)
+    val replacedOldReps = touchedReps
+      .join(oldReps, Seq("exact_hash", "exact_hash2"))
+      .where(col("rep_id") =!= col("old_rep"))
+      .select(col("old_rep").as("doc_id"))
+
+    // ---- new-side banding: ONLY new docs that are union reps (or have no
+    // exact hash) band, mirroring the batch rep-only banding ----
+    val newHashable = newSigs0.where(col("hashable"))
+    val newRepSigs = newHashable
+      .join(touchedReps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(newHashable.where(!col("has_exact")))
+    val mhNew = bandStage(newRepSigs)
+    val newBands = if (opts.simHashChannel) mhNew.unionByName(simhashBandStage(newRepSigs)) else mhNew
+
+    // ---- probe the old band table on the new batch's band keys ----
+    def packKey(df: DataFrame): DataFrame = df.select(
+      (shiftleft(col("band_id").cast("long"), 32)
+        .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      col("band_id"), col("band_hash"), col("doc_id"))
+    val probeKeys = packKey(newBands).select("band_key").distinct()
+    val oldBandTable = oldBands.getOrElse {
+      // no persisted band table: one linear rep-banding pass over the old
+      // corpus (narrow, no shuffle) — still never a corpus-wide pair stage
+      val (reps, _) = exactGroups(oldSigs0)
+      val oldHashable = oldSigs0.where(col("hashable"))
+      val oldRepSigs = oldHashable
+        .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .unionByName(oldHashable.where(!col("has_exact")))
+      val mh = bandStage(oldRepSigs)
+      if (opts.simHashChannel) mh.unionByName(simhashBandStage(oldRepSigs)) else mh
+    }
+    val oldProbe = packKey(oldBandTable)
+      .join(broadcast(probeKeys), Seq("band_key"), "left_semi")
+      .join(broadcast(replacedOldReps), Seq("doc_id"), "left_anti")
+      .select("band_id", "band_hash", "doc_id")
+
+    (oldProbe.unionByName(newBands.select("band_id", "band_hash", "doc_id")), exactEdges)
+  }
+
   /** As `dupPairs`, but over a precomputed (ideally cached) signature table —
     * callers that already materialized `signatureStage` (the dominant CPU
     * cost of the whole pipeline) must not pay it a second time.
@@ -470,6 +618,26 @@ object DedupPipeline {
     }
   }
 
+  /** Band keys PROVABLY over the global stop-band cap: local count in some
+    * single map partition exceeds `cap` (⇒ global count does too). One
+    * narrow no-shuffle pass; per partition at most rows/(cap+1) keys can
+    * qualify, so the result is small and broadcastable. Package-private for
+    * the auto-prefilter test.
+    */
+  private[graft] def provablyHotKeys(spark: SparkSession,
+      keyed: Dataset[(Long, Long)], cap: Int): DataFrame = {
+    import spark.implicits._
+    val maxTracked = 4 << 20
+    keyed.mapPartitions { it =>
+      val counts = new DedupPipeline.LongCounter(1 << 16)
+      val hot = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (k, _) =>
+        if (counts.incrBounded(k, maxTracked) == cap + 1) hot += k
+      }
+      hot.iterator
+    }.toDF("band_key").distinct()
+  }
+
   /** Shared skew-capped pair emission from a band table
     * (band_id, band_hash, doc_id) — used by the LSH candidate stage, the
     * phash Hamming channel and the ANN bucket channel.
@@ -519,19 +687,37 @@ object DedupPipeline {
           .join(broadcast(hot), Seq("band_key"), "left_anti")
           .as[(Long, Long)]
       }
+    val maxTracked = 4 << 20
+    // AUTO heavy-hitter exclusion, ALWAYS on (no flag) and exactly
+    // output-preserving: a key whose LOCAL count in any single map partition
+    // exceeds `cap` is PROVABLY over the global cap, and the reducer would
+    // drop its group regardless — so detect such keys with one narrow
+    // no-shuffle pass (the same LongCounter the local cap uses, emitting a
+    // key once when it crosses cap+1) and anti-join them out BEFORE the
+    // shuffle. A 10^7-member boilerplate band then ships ZERO postings
+    // instead of (cap+1)·numMapPartitions to one reducer. Keys over cap
+    // globally but under cap in every partition still ship (≤ cap+1 rows per
+    // map via the local cap below) and die at the reducer — catching those
+    // too is what the opt-in exact-count prefilter above is for. Untracked
+    // keys (tracking map overflow) can't be proven hot and pass through.
+    val preFiltered =
+      if (prefilterHot) input // the exact-count phase already removed a superset
+      else input.toDF("band_key", "doc_id")
+        .join(broadcast(provablyHotKeys(spark, input, cap)), Seq("band_key"), "left_anti")
+        .as[(Long, Long)]
     // map-side stop-band combiner, ALWAYS on and exactly output-preserving:
     // a key whose LOCAL count exceeds `cap` is globally over cap, and cap+1
     // delivered rows are already enough to make the reducer drop the group —
     // so suppress everything past cap+1 per key per map partition. A
-    // 10^7-member boilerplate band then ships ≤ (cap+1)·numMapPartitions
-    // postings instead of 10^7 to one reducer. Equivalence: a group is
-    // dropped iff its reducer-side count exceeds cap — if any partition
-    // crossed cap it alone delivers cap+1 (> cap ⇒ dropped, same as
-    // before); if none crossed, delivery is complete and the reducer count
-    // is the true count. Tracking map is size-bounded; on overflow new keys
-    // pass through untracked (the reducer-side cap stays the backstop).
-    val maxTracked = 4 << 20
-    val localCapped = input.mapPartitions { it =>
+    // boilerplate band that dodged the provable-hot pass (e.g. untracked on
+    // map overflow) still ships ≤ (cap+1)·numMapPartitions postings instead
+    // of its full volume. Equivalence: a group is dropped iff its
+    // reducer-side count exceeds cap — if any partition crossed cap it alone
+    // delivers cap+1 (> cap ⇒ dropped, same as before); if none crossed,
+    // delivery is complete and the reducer count is the true count. Tracking
+    // map is size-bounded; on overflow new keys pass through untracked (the
+    // reducer-side cap stays the backstop).
+    val localCapped = preFiltered.mapPartitions { it =>
       val counts = new DedupPipeline.LongCounter(1 << 16)
       it.filter { case (k, _) =>
         val c = counts.incrBounded(k, maxTracked)

@@ -79,11 +79,17 @@ object StreamingIndex {
     *
     * Semantics vs the batch pipeline: a pair is emitted once per
     * colliding band at ≥1 band match (cross-batch per-PAIR band counting
-    * would need unbounded pair state), so readers should
-    * `dropDuplicates("a","b")` at the sink; recall ≥ the batch ≥2-band
-    * rule, precision guarded by the same score threshold. State size is
-    * ∝ the band table (≤ cap entries per distinct band key) — bound
-    * retention with a state TTL at the query level where needed.
+    * would need unbounded pair state), so readers should dedup at the sink
+    * — `nearDupPairsDistinct` below is that public surface; recall ≥ the
+    * batch ≥2-band rule, precision guarded by the same score threshold.
+    * State size is ∝ the band table (≤ cap entries per distinct band key)
+    * — bound retention with a state TTL at the query level where needed.
+    *
+    * Emission at the cap crossing is BATCH-BOUNDARY-INDEPENDENT: pairs
+    * verified while the key held ≤ cap residents always emit — including
+    * those of the doc whose insertion crosses the cap — and docs arriving
+    * after the tombstone (same batch or later) emit nothing. The same
+    * arrival order split into different micro-batches emits the same pairs.
     */
   def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
       cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] = {
@@ -133,8 +139,30 @@ object StreamingIndex {
             bi += 1
           }
           state.update(st)
-          if (st.overflowed) Iterator.empty else out.iterator
+          // pairs accumulated BEFORE the overflow point always emit — a
+          // retroactive drop here would make emission depend on where the
+          // micro-batch boundary fell relative to the cap crossing
+          out.iterator
         })
+  }
+
+  /** At-most-once near-dup pair delivery — the public sink surface over
+    * `nearDupPairsStream` (which emits a pair once per colliding band):
+    * streaming dedup on (a, b), optionally bounded by a state TTL so pair
+    * state doesn't grow forever (`ttl` e.g. "1 hour": a re-collision later
+    * than the TTL may re-emit — the documented trade for bounded state).
+    */
+  def nearDupPairsDistinct(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default, cap: Int = 500,
+      ttl: Option[String] = None): DataFrame = {
+    val pairs = nearDupPairsStream(spark, docs, cfg, cap).toDF()
+    ttl match {
+      case Some(d) => pairs
+        .withColumn("emit_ts", current_timestamp())
+        .withWatermark("emit_ts", d)
+        .dropDuplicatesWithinWatermark("a", "b")
+      case None => pairs.dropDuplicates("a", "b")
+    }
   }
 
   /** One output row per streamed doc: is it an exact duplicate of anything

@@ -130,6 +130,32 @@ class DedupOpsSpec extends SparkTestBase {
     // anyway) — absent from both sides
     assert(!capped.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("plain postings join ≡ prefix-filtered variant, and auto dispatches to both") {
+    // boilerplate-heavy + near-dup corpus exercising cap, length filter and
+    // prefix pruning together
+    val boiler = "shared boilerplate words repeat across many documents here"
+    val docs = ((1L to 8L).map(i =>
+        (i, s"$boiler unique${i % 3} tail$i content block ${('a' + i).toChar} extra")) ++ Seq(
+        (20L, "wholly unrelated text talking about nothing in common at all"),
+        (21L, "wholly unrelated text talking about nothing in common at all")))
+      .toDF("doc_id", "text")
+    for (cap <- Seq(3, 1000)) {
+      val pre = DedupOps.ngramJaccardPairs(spark, docs, threshold = 0.4, maxPostings = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      val plain = DedupOps.ngramJaccardPairsPlain(spark, docs, threshold = 0.4, maxPostings = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pre == plain, s"cap=$cap: prefix $pre vs plain $plain")
+    }
+    // auto picks a variant (either), same answer; both skew regimes exercised
+    for (cutoff <- Seq(0.0, 1e9)) {
+      val auto = DedupOps.ngramJaccardAuto(spark, docs, threshold = 0.4, skewCutoff = cutoff)
+        .as[(Long, Long, Double)].collect().toSet
+      val ref = DedupOps.ngramJaccardPairs(spark, docs, threshold = 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(auto == ref, s"cutoff=$cutoff: $auto vs $ref")
+    }
+  }
 }
 
 class AnnOpsSpec extends SparkTestBase {
@@ -463,6 +489,58 @@ class StreamingSpec extends SparkTestBase {
     assert(got.keySet == Set(key("u1", "u2"), key("u1", "u4"), key("u2", "u4")),
       s"unrelated doc must not pair: $got")
     assert(got.values.forall(_ > 50.0))
+  }
+
+  test("wrapped near-dup sink delivers each pair at most once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("url", "text")
+    // near-identical docs collide in ~all 20 bands → the raw stream emits
+    // the same pair many times; the wrapper must collapse to one row
+    val pairs = graft.streaming.StreamingIndex.nearDupPairsDistinct(spark, stream)
+    val q = pairs.writeStream.format("memory").queryName("neardup_once")
+      .outputMode("append").start()
+    def fam(tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"on${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    mem.addData(("w1", fam(-1)), ("w2", fam(-1)))
+    q.processAllAvailable()
+    mem.addData(("w3", fam(5)))
+    q.processAllAvailable()
+    val rows = spark.sql("select a, b from neardup_once").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.length == rows.distinct.length, s"duplicate pair rows at the sink: ${rows.toSeq}")
+    assert(rows.length == 3, s"expected the 3 pairs exactly once: ${rows.toSeq}")
+  }
+
+  test("near-dup cap crossing emits identically regardless of batch boundaries") {
+    def run(batches: Seq[Seq[(String, String)]]): Set[(Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, String)]
+      val stream = mem.toDF().toDF("url", "text")
+      val name = s"capcross_${batches.length}_${batches.head.length}"
+      val q = graft.streaming.StreamingIndex.nearDupPairsStream(spark, stream, cap = 2)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.sql(s"select distinct a, b from $name").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.stop()
+      got
+    }
+    val text = (1 to 40).map(w => s"cc${('a' + w % 26).toChar}$w").mkString(" ")
+    val docs = Seq("c1", "c2", "c3", "c4").map(u => (u, text))
+    // one batch vs split at the cap crossing: same arrival order, same pairs
+    val oneBatch = run(Seq(docs))
+    val split = run(Seq(docs.take(2), docs.drop(2)))
+    assert(oneBatch == split, s"batch-boundary-dependent emission: $oneBatch vs $split")
+    // cap=2: docs process in ascending doc_id order, so the three smallest
+    // ids pair before the cap crossing tombstones the keys; the 4th emits
+    // nothing
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    val Seq(a, b, c) = Seq("c1", "c2", "c3", "c4").map(id).sorted.take(3)
+    assert(oneBatch == Set((a, b), (a, c), (b, c)), s"$oneBatch")
   }
 
   test("event-time window aggregation with watermark") {

@@ -228,6 +228,36 @@ class DedupPipelineSpec extends SparkTestBase {
       "hot-group members must not pair")
   }
 
+  test("mega-hot bands are auto-excluded pre-shuffle, no flag needed") {
+    import spark.implicits._
+    val cap = 10
+    // hot key: 3·cap postings in ONE partition → provably over the global cap
+    val hot = (0 until 3 * cap).map(i => (5, 99L, i.toLong))
+    val cold = Seq((6, 10L, 1L), (6, 10L, 2L))
+    def keyed(parts: Int) = (hot ++ cold).toDF("band_id", "band_hash", "doc_id")
+      .repartition(parts)
+      .select((shiftleft(col("band_id").cast("long"), 32)
+        .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+        col("doc_id"))
+      .as[(Long, Long)]
+    val packedHot = (5L << 32) | 99L
+    val found = DedupPipeline.provablyHotKeys(spark, keyed(1), cap)
+      .as[Long].collect().toSet
+    assert(found == Set(packedHot), s"detector must flag exactly the mega-hot key: $found")
+    // spread across 16 partitions the local counts stay ≤ cap: not provable —
+    // the map-side cap + reducer drop remain the backstop, output unchanged
+    val thin = DedupPipeline.provablyHotKeys(spark, keyed(16), cap)
+      .as[Long].collect().toSet
+    assert(thin.isEmpty, s"sub-cap local counts must not be flagged: $thin")
+    // e2e either way: hot group contributes nothing, cold pair survives
+    for (parts <- Seq(1, 16)) {
+      val bands = (hot ++ cold).toDF("band_id", "band_hash", "doc_id").repartition(parts)
+      val got = DedupPipeline.pairsFromBands(spark, bands, cap, bandMatchesRequired = 1)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"parts=$parts: $got")
+    }
+  }
+
   test("LongCounter: exact counts through growth, bounded tracking honored") {
     val c = new graft.pipeline.DedupPipeline.LongCounter(4)
     val r = new java.util.Random(3)

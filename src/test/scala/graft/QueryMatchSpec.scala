@@ -130,6 +130,103 @@ class MaintenanceSpec extends SparkTestBase {
     assert(inc.forall(p => newIdSet.contains(p._1) || newIdSet.contains(p._2)))
   }
 
+  test("incremental dedup: exact dups across the batch boundary, incl. rep re-election") {
+    def id(url: String): Long = graft.hash.SimHash.hash64("doc:" + url)
+    def text(tag: String): String =
+      (1 to 40).map(w => s"$tag${('a' + w % 26).toChar}$w").mkString(" ")
+    // old exact group {o1, o2}; the new copies are chosen so one gets a
+    // doc_id BELOW the old rep (forces rep re-election to the new doc) and
+    // one ABOVE (rep stays old) — both directions must match the batch
+    val oldUrls = Seq("xg-o1", "xg-o2")
+    val oldRep = oldUrls.map(id).min
+    val below = (1 to 1000).map(i => s"xg-cp$i").find(u => id(u) < oldRep).get
+    val above = (1 to 1000).map(i => s"xg-cp$i").find(u => id(u) > oldRep).get
+    val oldDocs = (oldUrls.map(u => (u, text("xg"))) :+ ("yy-1", text("yy")))
+      .toDF("url", "text")
+    val newDocs = Seq((below, text("xg")), (above, text("xg")), ("zz-1", text("zz")))
+      .toDF("url", "text")
+
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val oldSigs = pipe.signatureStage(pipe.extractStage(oldDocs, fromHtml = false)).toDF()
+    val (newSigs, incPairs) = MaintenanceOps.incrementalDupPairs(spark, oldSigs, newDocs)
+    val newIdSet = newSigs.select("doc_id").as[Long].collect().toSet
+
+    val batch = pipe.dupPairs(oldDocs.unionByName(newDocs), fromHtml = false)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+      .filter(p => newIdSet.contains(p._1) || newIdSet.contains(p._2))
+    val inc = incPairs.select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(inc == batch, s"incremental $inc vs batch $batch")
+    // the re-elected rep (the new `below` doc) must carry the group's edges
+    assert(inc.exists(p => p._1 == id(below) || p._2 == id(below)))
+  }
+
+  test("probe incremental: candidate volume scales with the batch, not the corpus") {
+    // old corpus: 120 docs in 40 near-dup triples (lots of old×old pairs);
+    // new batch: 2 unrelated docs. Family tags are ALPHABETIC — digit runs
+    // are wildcarded by token normalization and would collapse families
+    def fam(tag: String, member: Int): String =
+      (1 to 40).map { w =>
+        val t = s"$tag${('a' + w % 26).toChar}$w"
+        if (w == member * 7) t + "x" else t // distinct near-dup members
+      }.mkString(" ")
+    def tg(f: Int) = s"of${('a' + f % 26).toChar}${('a' + (f / 26) % 26).toChar}"
+    val oldDocs = (1 to 40).flatMap(f => (1 to 3).map(i =>
+      (s"${tg(f)}-$i", fam(tg(f), i)))).toDF("url", "text")
+    val newDocs = Seq(("nw-1", fam("nwq", 1)), ("nw-2", fam("nwz", 2))).toDF("url", "text")
+
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val oldSigs = pipe.signatureStage(pipe.extractStage(oldDocs, fromHtml = false)).toDF().cache()
+    val newSigs = pipe.signatureStage(pipe.extractStage(newDocs, fromHtml = false)).toDF().cache()
+
+    val (candInput, _) = pipe.probeParts(oldSigs, newSigs, None)
+    val candRows = candInput.count()
+    // full-union band table volume (what the old full-union shuffle carried)
+    val unionBands = pipe.probeParts(oldSigs.limit(0), oldSigs.unionByName(newSigs), None)._1.count()
+    // every posting of the 2 new docs (26 keys each: 20 minhash + 6 simhash)
+    // plus at most incidental old collisions — nowhere near the union table
+    assert(candRows <= 26 * 2 * 3,
+      s"candidate input $candRows must be ~the new batch's postings")
+    assert(unionBands > candRows * 10,
+      s"union band table $unionBands vs probed input $candRows: probe must not scale with corpus")
+    // and the pair output over this disjoint batch is empty, like the batch answer
+    assert(pipe.probeDupPairs(oldSigs, newSigs).isEmpty)
+  }
+
+  test("incremental from ledger index: old corpus is never re-signed on resume") {
+    def t(tag: String, tweak: Boolean): String =
+      (1 to 40).map(w => if (tweak && w == 5) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    val oldDocs = Seq(("io-1", t("io", false)), ("io-2", t("io", true)),
+      ("ip-1", t("ip", false))).toDF("url", "text")
+    val newDocs = Seq(("in-1", t("io", false))).toDF("url", "text") // near/exact of io family
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+    val cfg = graft.kernel.GraftConfig.default
+    val ledger = new graft.ledger.Ledger(spark, tmp, cfg.configHash)
+
+    // build the index once
+    val (_, pairs1) = MaintenanceOps.incrementalDupPairsFromIndex(
+      spark, oldDocs, newDocs, ledger, corpusTag = "inc")
+    val got1 = pairs1.select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got1.nonEmpty)
+
+    // poisoned old corpus: any evaluation explodes — the committed ledger
+    // index must answer without touching it
+    val boom = udf(() => { sys.error("old corpus was re-signed"); "" })
+    val poisoned = spark.range(1).select(boom().as("url"), boom().as("text"))
+    val (_, pairs2) = MaintenanceOps.incrementalDupPairsFromIndex(
+      spark, poisoned, newDocs, ledger, corpusTag = "inc")
+    assert(pairs2.select("src", "dst").as[(Long, Long)].collect().toSet == got1)
+
+    // ground truth: probe ≡ batch restricted to new
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val newIds = pipe.signatureStage(pipe.extractStage(newDocs, fromHtml = false))
+      .toDF().select("doc_id").as[Long].collect().toSet
+    val batch = pipe.dupPairs(oldDocs.unionByName(newDocs), fromHtml = false)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+      .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+    assert(got1 == batch, s"fromIndex $got1 vs batch $batch")
+  }
+
   test("band-index rebuild reproduces the pipeline's band table exactly") {
     val docs = Seq(
       ("u1", (1 to 40).map(i => s"ra${('a' + i % 26).toChar}$i").mkString(" ")),
@@ -142,6 +239,67 @@ class MaintenanceSpec extends SparkTestBase {
     val rebuilt = MaintenanceOps.rebuildBandIndex(spark, sigs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(rebuilt == direct)
+  }
+
+  test("rename cascades consistently through signature and band tables") {
+    def t(tag: String): String =
+      (1 to 40).map(w => s"$tag${('a' + w % 26).toChar}$w").mkString(" ")
+    val docs = Seq(("rn-1", t("rn")), ("rn-2", t("rn")), ("rq-1", t("rq")))
+      .toDF("url", "text")
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF().cache()
+    val bands = pipe.bandStage(sigs.where(col("hashable"))).cache()
+
+    val renames = Map("rn-1" -> "renamed/rn-1", "rq-1" -> "renamed/rq-1")
+    val (sigs2, bands2) = MaintenanceOps.renameDocs(spark, sigs, bands, renames)
+
+    // ground truth: the pipeline run from scratch on the renamed corpus
+    val renamedDocs = Seq(("renamed/rn-1", t("rn")), ("rn-2", t("rn")),
+      ("renamed/rq-1", t("rq"))).toDF("url", "text")
+    val sigsRef = pipe.signatureStage(pipe.extractStage(renamedDocs, fromHtml = false))
+      .toDF().cache()
+    val bandsRef = pipe.bandStage(sigsRef.where(col("hashable")))
+
+    def sigKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "doc_id", "exact_hash", "simhash").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(sigKey(sigs2) == sigKey(sigsRef), "renamed signature table must equal a fresh run")
+    def bandKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band_id", "band_hash").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(bandKey(bands2) == bandKey(bandsRef), "renamed band table must equal a fresh run")
+
+    // renaming onto an existing url is a merge, not a rename → rejected
+    intercept[IllegalArgumentException] {
+      MaintenanceOps.renameDocs(spark, sigs, bands, Map("rn-1" -> "rn-2"))
+    }
+  }
+
+  test("vs-group matching equals the unscoped match filtered to the group") {
+    def t(tag: String, tweakAt: Int): String =
+      (1 to 50).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    // four docs matching the query at different strengths, one unrelated
+    val docs = Seq(("g1", t("gm", -1)), ("g2", t("gm", 5)), ("g3", t("gm", 9)),
+      ("g4", t("gm", 13)), ("g5", t("zz", -1))).toDF("url", "text")
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false))
+      .toDF().where(col("hashable")).cache()
+    val bands = pipe.bandStage(sigs).cache()
+    val query = t("gm", -1)
+
+    def ids(urls: String*) = sigs.where(col("url").isin(urls: _*)).select("doc_id")
+    val group = ids("g2", "g4", "g5")
+    val scoped = QueryMatch.topMatchesVsGroup(spark, sigs, bands, query, group, k = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    // ground truth: unscoped with no effective limit, filtered to the group, re-topped
+    val groupUrls = Set("g2", "g4", "g5")
+    val unscoped = QueryMatch.topMatchesFromIndex(spark, sigs, bands, query, k = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+      .filter(r => groupUrls.contains(r._1)).take(2).toSeq
+    assert(scoped == unscoped, s"scoped $scoped vs filtered-unscoped $unscoped")
+    assert(scoped.map(_._1).toSet.subsetOf(groupUrls))
+    assert(scoped.nonEmpty && scoped.head._1 == "g2", "nearest in-group doc must rank first")
   }
 
   test("delete cascades through signature and band tables") {
