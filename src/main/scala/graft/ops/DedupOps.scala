@@ -96,8 +96,9 @@ object DedupOps {
     * (array_intersect), so the output equals the naive all-postings join
     * — but the quadratic collision volume collapses to rare-shingle
     * co-occurrences: a df-1000 boilerplate gram sorts last within every
-    * doc and almost never reaches a prefix (measured ~7× on the bench
-    * tables vs the full postings self-join).
+    * doc and almost never reaches a prefix (r4 pinned same-window A/B:
+    * 2× faster than the plain join at sf0.1, see BENCH.md §r4 and
+    * `ngramJaccardAuto` for the measured crossover).
     *
     * Scale: shingles with df > maxPostings (corpus boilerplate) never
     * generate candidates (stop-shingle cap, same policy as LSH
@@ -150,14 +151,15 @@ object DedupOps {
     * verification on the full arrays — hence BIT-IDENTICAL output (the
     * prefix filter is lossless given verification; asserted by test).
     *
-    * When to use which (the measured crossover, see BENCH.md round 4): on
-    * DENSE-VOCAB corpora (shingle df roughly uniform — the synthetic bench
-    * tables, avg df ≈ 50) the prefix pass prunes little and its extra
-    * df-join + per-doc sort costs more than the join it saves → plain wins.
-    * On POWER-LAW web text (a heavy boilerplate tail), join cost is
-    * Σ_sh df(sh)² and the prefix filter's whole point is keeping
-    * high-df shingles out of the join side → prefix wins. `ngramJaccardAuto`
-    * dispatches on a one-row skew statistic.
+    * When to use which — the r4 same-window pinned A/B (BENCH.md §r4)
+    * settled the r2/r3 ambiguity: the crossover axis is the EXPECTED
+    * POSTING-COLLISION VOLUME, not vocabulary shape. Plain's join emits
+    * ~Σ_sh df(sh)² rows; prefix's extra df-join + per-doc sort cost ~Σdf.
+    * With E[df of a random posting] = Σdf²/Σdf ≈ 54 (sf0.1) prefix wins
+    * 3.0 s vs 5.9 s; at E[df] ≈ 6 (sf0.01) plain wins 0.6 s vs 1.2 s.
+    * Power-law web text has a boilerplate tail that drives E[df] into the
+    * thousands → prefix, decisively. `ngramJaccardAuto` dispatches on the
+    * one-row E[df] probe.
     */
   def ngramJaccardPairsPlain(spark: SparkSession, docs: DataFrame,
       k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame = {
@@ -174,18 +176,18 @@ object DedupOps {
     verifyJaccard(cand, sets, threshold)
   }
 
-  /** Dispatches prefix-filtered vs plain on a one-row df-skew probe:
-    * E[df of a random posting] = Σdf²/Σdf. On power-law text that
-    * expectation is dominated by the boilerplate tail (≫ mean df) and the
-    * prefix filter pays for itself; on dense-vocab corpora it stays near
-    * the mean and the plain join wins (measured crossover in BENCH.md r4).
+  /** Dispatches prefix-filtered vs plain on a one-row probe of
+    * E[df of a random posting] = Σdf²/Σdf — the expected per-posting join
+    * fan-out, i.e. how quadratic the plain join would be. The r4 measured
+    * crossover sits between 6 (plain wins 2×) and 54 (prefix wins 2×);
+    * power-law web boilerplate drives it into the thousands. Cutoff 20 ≈
+    * the geometric middle of the bracketing measurements.
     */
   def ngramJaccardAuto(spark: SparkSession, docs: DataFrame,
       k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000,
-      skewCutoff: Double = 8.0): DataFrame = {
-    val (eDf, meanDf) = ngramJaccardAutoStat(spark, docs, k)
-    val skew = eDf / math.max(1.0, meanDf)
-    if (skew >= skewCutoff) ngramJaccardPairs(spark, docs, k, threshold, maxPostings)
+      eDfCutoff: Double = 20.0): DataFrame = {
+    val (eDf, _) = ngramJaccardAutoStat(spark, docs, k)
+    if (eDf >= eDfCutoff) ngramJaccardPairs(spark, docs, k, threshold, maxPostings)
     else ngramJaccardPairsPlain(spark, docs, k, threshold, maxPostings)
   }
 

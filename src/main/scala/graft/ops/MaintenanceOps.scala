@@ -53,14 +53,15 @@ object MaintenanceOps {
   def buildOrLoadDedupIndex(spark: SparkSession, docs: => DataFrame,
       ledger: graft.ledger.Ledger, corpusTag: String,
       cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
-      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions())
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions(),
+      fromHtml: Boolean = false)
       : (DataFrame, DataFrame) = {
     val params = s"kernel=${graft.pipeline.DocSig.kernelFingerprint(cfg)}," +
       s"corpus=$corpusTag,sh=${opts.simHashChannel}"
     val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
     val sigDesc = ledger.descriptor("dedup_sigs", params, Nil)
     val sigs = ledger.stage("dedup_sigs", sigDesc) {
-      pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF()
+      pipe.signatureStage(pipe.extractStage(docs, fromHtml)).toDF()
     }
     val bands = ledger.stage("dedup_bands",
         ledger.descriptor("dedup_bands", params, Seq(sigDesc))) {

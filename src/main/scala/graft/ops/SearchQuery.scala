@@ -119,10 +119,26 @@ object SearchQuery {
     }
   }
 
+  // Driver-side LRU parse memo, ≅ the reference's lru_cache(100) on its
+  // parser (/root/reference/mcrit/index/SearchQueryParser.py:172). ASTs are
+  // immutable, so sharing a cached node is safe; access-ordered
+  // LinkedHashMap gives true LRU eviction. Parse failures are not cached.
+  private val memoCapacity = 100
+  private val parseMemo =
+    new java.util.LinkedHashMap[String, Node](memoCapacity * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Node]): Boolean =
+        size() > memoCapacity
+    }
+
   def parse(query: String): Node = {
+    parseMemo.synchronized {
+      val hit = parseMemo.get(query)
+      if (hit != null) return hit
+    }
     val p = new P(query)
     val n = p.parseOr()
     if (!p.eof) throw new ParseException("trailing input")
+    parseMemo.synchronized { parseMemo.put(query, n) }
     n
   }
 

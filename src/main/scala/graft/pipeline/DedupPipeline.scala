@@ -456,10 +456,20 @@ final class DedupPipeline(
     * Assumes `newSigs0` doc_ids are disjoint from the old corpus (re-sent
     * urls should be excluded first via `MaintenanceOps.newDocs`).
     */
+  /** What a probe-style incremental step computes, split out for state
+    * maintenance: `candInput` feeds candidate generation; `exactEdges` are
+    * the exact-channel pairs touching new docs; `newBands` are the NEW
+    * reps' band postings (what a rolling index must append); `replacedReps`
+    * are old rep doc_ids whose groups re-elected a new rep (what a rolling
+    * index must tombstone so the stored band table stays rep-only).
+    */
+  final case class ProbeParts(candInput: DataFrame, exactEdges: DataFrame,
+      newBands: DataFrame, replacedReps: DataFrame)
+
   def probeDupPairs(oldSigs0: DataFrame, newSigs0: DataFrame,
       oldBands: Option[DataFrame] = None): DataFrame = {
     val newIds = newSigs0.select("doc_id")
-    val (candInput, exactEdges) = probeParts(oldSigs0, newSigs0, oldBands)
+    val ProbeParts(candInput, exactEdges, _, _) = probeParts(oldSigs0, newSigs0, oldBands)
 
     // ---- candidate generation over the probed subset only ----
     val candidates = candidateStage(candInput, cfg.bandMatchesRequired)
@@ -475,12 +485,13 @@ final class DedupPipeline(
     DedupPipeline.mergeChannels(lsh, exactEdges)
   }
 
-  /** The probe plan's two inputs — (candidate band postings, exact edges
-    * touching new) — split out so tests can assert the candidate volume
-    * scales with the batch, not the corpus.
+  /** The probe plan's inputs and state deltas (see `ProbeParts`) — split
+    * out so tests can assert the candidate volume scales with the batch,
+    * and so `DedupJob`'s rolling incremental mode can append `newBands` /
+    * tombstone `replacedReps` into its persisted index.
     */
   private[graft] def probeParts(oldSigs0: DataFrame, newSigs0: DataFrame,
-      oldBands: Option[DataFrame]): (DataFrame, DataFrame) = {
+      oldBands: Option[DataFrame]): ProbeParts = {
     val newIds = newSigs0.select("doc_id")
 
     // ---- exact channel, touched groups only ----
@@ -538,7 +549,11 @@ final class DedupPipeline(
       .join(broadcast(replacedOldReps), Seq("doc_id"), "left_anti")
       .select("band_id", "band_hash", "doc_id")
 
-    (oldProbe.unionByName(newBands.select("band_id", "band_hash", "doc_id")), exactEdges)
+    ProbeParts(
+      oldProbe.unionByName(newBands.select("band_id", "band_hash", "doc_id")),
+      exactEdges,
+      newBands.select("doc_id", "band_id", "band_hash"),
+      replacedOldReps)
   }
 
   /** As `dupPairs`, but over a precomputed (ideally cached) signature table —

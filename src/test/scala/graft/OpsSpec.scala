@@ -31,6 +31,17 @@ class SearchQuerySpec extends SparkTestBase {
     assert(bare == Seq(1L, 3L))
   }
 
+  test("parser memoizes repeated queries (LRU 100, by reference)") {
+    val q = "lang:en AND n_chars:>200 OR memoprobe"
+    val a = parse(q)
+    assert(parse(q) eq a, "second parse must return the cached AST instance")
+    // 120 distinct queries evict the entry; the re-parse is a fresh but
+    // structurally equal node
+    (0 until 120).foreach(i => parse(s"evict$i"))
+    val c = parse(q)
+    assert(!(c eq a) && c == a)
+  }
+
   test("bare terms starting with OR/AND/NOT letters parse as terms") {
     // regression: the implicit-AND lookahead treated 'orange' as OR + 'ange'
     assert(parse("lang:en orange") ==
@@ -147,9 +158,9 @@ class DedupOpsSpec extends SparkTestBase {
         .as[(Long, Long, Double)].collect().toSet
       assert(pre == plain, s"cap=$cap: prefix $pre vs plain $plain")
     }
-    // auto picks a variant (either), same answer; both skew regimes exercised
+    // auto picks a variant (either), same answer; both regimes exercised
     for (cutoff <- Seq(0.0, 1e9)) {
-      val auto = DedupOps.ngramJaccardAuto(spark, docs, threshold = 0.4, skewCutoff = cutoff)
+      val auto = DedupOps.ngramJaccardAuto(spark, docs, threshold = 0.4, eDfCutoff = cutoff)
         .as[(Long, Long, Double)].collect().toSet
       val ref = DedupOps.ngramJaccardPairs(spark, docs, threshold = 0.4)
         .as[(Long, Long, Double)].collect().toSet

@@ -373,6 +373,70 @@ class DedupJobSpec extends SparkTestBase {
       parsed.opts.maxBandGroupSize == 99)
     intercept[IllegalArgumentException] { graft.DedupJob.parse(Array("--input", "x")) }
     intercept[IllegalArgumentException] { graft.DedupJob.parse(Array("--bogus")) }
+    intercept[IllegalArgumentException] { // incremental without checkpoint
+      graft.DedupJob.parse(Array("--input", "i", "--output", "o", "--incremental", "b"))
+    }
+  }
+
+  test("rolling incremental mode: probe-only batches track the full-batch answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jobinc").toString
+    def t(tag: String, tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    // base corpus: one near-dup family + one unrelated doc
+    Seq(("b-1", t("ja", -1)), ("b-2", t("ja", 5)), ("b-3", t("qq", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/input")
+    // batch 1: near-dup of the base family + a brand-new family; includes a
+    // RE-SENT url (b-1) that the M7 sweep must drop
+    Seq(("n1-1", t("ja", 9)), ("n1-2", t("kz", -1)), ("b-1", t("ja", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/batch1")
+    // batch 2: near-dup of a BATCH-1 doc (proves the index rolled forward)
+    // plus an exact copy of a base doc
+    Seq(("n2-1", t("kz", 13)), ("n2-2", t("qq", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/batch2")
+
+    def argsFor(batch: String, out: String) = graft.DedupJob.Args(
+      input = s"$tmp/input", output = s"$tmp/$out",
+      checkpoint = Some(s"$tmp/ckpt"), fromHtml = false,
+      incremental = Some(s"$tmp/$batch"))
+
+    val (p1, fresh1) = graft.DedupJob.runIncremental(spark, argsFor("batch1", "out1"))
+    assert(fresh1 == 2, "re-sent url must be dropped by the sweep")
+
+    // after batch 1 the base index is committed: delete the raw input — the
+    // second step must answer entirely from the persisted index
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/input"))
+    val (p2, fresh2) = graft.DedupJob.runIncremental(spark, argsFor("batch2", "out2"))
+    assert(fresh2 == 2)
+
+    // ground truth: full batch over the union at each step
+    val pipe = new DedupPipeline(spark)
+    def ids(urls: String*): Set[Long] =
+      urls.map(u => graft.hash.SimHash.hash64("doc:" + u)).toSet
+    val upTo1 = Seq(("b-1", t("ja", -1)), ("b-2", t("ja", 5)), ("b-3", t("qq", -1)),
+      ("n1-1", t("ja", 9)), ("n1-2", t("kz", -1)))
+    val all = upTo1 ++ Seq(("n2-1", t("kz", 13)), ("n2-2", t("qq", -1)))
+    val pairs1Truth = pipe.dupPairs(upTo1.toDF("url", "text"), fromHtml = false)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val pairs2Truth = pipe.dupPairs(all.toDF("url", "text"), fromHtml = false)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val got1 = spark.read.parquet(s"$tmp/out1")
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val got2 = spark.read.parquet(s"$tmp/out2")
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val new1 = ids("n1-1", "n1-2")
+    val new2 = ids("n2-1", "n2-2")
+    // each step must equal the full batch over ITS union restricted to the batch
+    assert(got1 == pairs1Truth.filter(p => new1.contains(p._1) || new1.contains(p._2)),
+      s"step1 $got1")
+    assert(got2 == pairs2Truth.filter(p => new2.contains(p._1) || new2.contains(p._2)),
+      s"step2 $got2")
+    // the rolled-forward state found the batch2-vs-batch1 near-dup pair and
+    // the exact copy of a base doc
+    assert(got2.exists(p => ids("n2-1").contains(p._1) || ids("n2-1").contains(p._2)))
+    assert(got2.exists(p => ids("n2-2").contains(p._1) || ids("n2-2").contains(p._2)))
   }
 }
 

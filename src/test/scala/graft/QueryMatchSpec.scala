@@ -178,10 +178,10 @@ class MaintenanceSpec extends SparkTestBase {
     val oldSigs = pipe.signatureStage(pipe.extractStage(oldDocs, fromHtml = false)).toDF().cache()
     val newSigs = pipe.signatureStage(pipe.extractStage(newDocs, fromHtml = false)).toDF().cache()
 
-    val (candInput, _) = pipe.probeParts(oldSigs, newSigs, None)
-    val candRows = candInput.count()
+    val candRows = pipe.probeParts(oldSigs, newSigs, None).candInput.count()
     // full-union band table volume (what the old full-union shuffle carried)
-    val unionBands = pipe.probeParts(oldSigs.limit(0), oldSigs.unionByName(newSigs), None)._1.count()
+    val unionBands = pipe.probeParts(oldSigs.limit(0), oldSigs.unionByName(newSigs), None)
+      .candInput.count()
     // every posting of the 2 new docs (26 keys each: 20 minhash + 6 simhash)
     // plus at most incidental old collisions — nowhere near the union table
     assert(candRows <= 26 * 2 * 3,
