@@ -715,10 +715,20 @@ object DedupPipeline {
     // map via the local cap below) and die at the reducer — catching those
     // too is what the opt-in exact-count prefilter above is for. Untracked
     // keys (tracking map overflow) can't be proven hot and pass through.
-    val preFiltered =
+    //
+    // The detection pass and the main pass both consume the band explode, so
+    // cache it (serialized: 16-byte rows) around the two passes — measured
+    // ~2 s of duplicated banding UDF work at bench scale otherwise. Cache is
+    // best-effort by design: at the 10^12 design point partitions that don't
+    // fit memory+disk silently recompute from the (ledger-materialized)
+    // signature table, which is exactly the no-cache behavior.
+    val cached =
       if (prefilterHot) input // the exact-count phase already removed a superset
-      else input.toDF("band_key", "doc_id")
-        .join(broadcast(provablyHotKeys(spark, input, cap)), Seq("band_key"), "left_anti")
+      else input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val preFiltered =
+      if (prefilterHot) input
+      else cached.toDF("band_key", "doc_id")
+        .join(broadcast(provablyHotKeys(spark, cached, cap)), Seq("band_key"), "left_anti")
         .as[(Long, Long)]
     // map-side stop-band combiner, ALWAYS on and exactly output-preserving:
     // a key whose LOCAL count exceeds `cap` is globally over cap, and cap+1
