@@ -28,17 +28,61 @@ object TextNorm {
     extract(new String(html, StandardCharsets.UTF_8))
   }
 
-  private val BlankLines = java.util.regex.Pattern.compile("\n{2,}")
-  private val InnerWs = java.util.regex.Pattern.compile("\\s+")
-
   def extract(raw: String): String = {
     if (raw == null || raw.isEmpty) return ""
-    val s = stripTags(raw)
-    // collapse whitespace within paragraphs, then blank-line paragraphs
-    val paras = BlankLines.split(unescapeEntities(s)).iterator
-      .map(p => InnerWs.matcher(p).replaceAll(" ").trim)
-      .filter(_.nonEmpty)
-    paras.mkString("\n\n")
+    normalizeStripped(stripTags(raw))
+  }
+
+  /** Entity decode + whitespace collapse + paragraph assembly in ONE scan
+    * over the tag-stripped text (the previous form — six String.replace
+    * passes, a blank-line split and a per-paragraph \s+ regex — re-scanned
+    * the document ~10× and showed up in the signature-stage profile).
+    *
+    * Byte-identical to the sequential form (property-tested against it):
+    *  - entity decoding is equivalent to the ordered replace chain because
+    *    no entity's replacement contains '&' (so an earlier replacement can
+    *    neither form nor feed a later match) and matches can't overlap;
+    *  - a paragraph break is a run of ≥2 CONSECUTIVE '\n' (the \n{2,}
+    *    split), any other whitespace run collapses to one space, and
+    *    leading/trailing runs trim away (empty paragraphs drop).
+    */
+  private[graft] def normalizeStripped(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    var nlRun = 0          // consecutive '\n' seen in the current ws run
+    var sawWs = false      // inside a whitespace run
+    var paraPending = false
+    while (i < n) {
+      var c = s.charAt(i)
+      var step = 1
+      if (c == '&') {
+        // decode the six supported entities via direct lookahead
+        if (s.regionMatches(i, "&lt;", 0, 4)) { c = '<'; step = 4 }
+        else if (s.regionMatches(i, "&gt;", 0, 4)) { c = '>'; step = 4 }
+        else if (s.regionMatches(i, "&quot;", 0, 6)) { c = '"'; step = 6 }
+        else if (s.regionMatches(i, "&#39;", 0, 5)) { c = '\''; step = 5 }
+        else if (s.regionMatches(i, "&nbsp;", 0, 6)) { c = ' '; step = 6 }
+        else if (s.regionMatches(i, "&amp;", 0, 5)) { c = '&'; step = 5 }
+      }
+      // \s = [ \t\n\x0B\f\r] exactly (Java regex, no UNICODE flag)
+      if (c == '\n') { nlRun += 1; sawWs = true }
+      else if (c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (nlRun >= 2) paraPending = true
+        nlRun = 0; sawWs = true
+      } else {
+        if (nlRun >= 2) paraPending = true
+        nlRun = 0
+        if (paraPending) {
+          if (out.length > 0) out.append("\n\n")
+          paraPending = false
+        } else if (sawWs && out.length > 0) out.append(' ')
+        sawWs = false
+        out.append(c)
+      }
+      i += step
+    }
+    out.toString
   }
 
   /** Single-pass tag stripper (the regex form re-scanned the document four
@@ -92,10 +136,6 @@ object TextNorm {
     sb.toString
   }
 
-  private def unescapeEntities(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
-
   // precompiled: String.split/replaceAll compile their pattern per call,
   // which dominates the signature stage at ~260 tokens/doc
   private val ParaSplit = java.util.regex.Pattern.compile("\n\n")
@@ -144,13 +184,47 @@ object TextNorm {
     def numTokens: Int = paraTokens.iterator.map(_.length).sum
   }
 
+  /** Single-scan tokenization, byte-identical to splitting on the literal
+    * "\n\n" then \s+ per paragraph then normalizing (property-tested
+    * against that composition): paragraph boundaries are non-overlapping
+    * "\n\n" pairs consumed left-to-right (so "\n\n\n" = one boundary + a
+    * leftover '\n' that collapses as in-paragraph whitespace), tokens are
+    * maximal non-\s runs, and a paragraph whose normalized tokens all
+    * vanish drops from `paraTokens` while its raw tokens stay in
+    * `rawToks` — exactly what the split-based form produced.
+    */
   def tokenize(text: String): Tokenized = {
-    val paras = paragraphs(text)
-    // split each paragraph ONCE and reuse for both views (the old form
-    // ran the whitespace regex twice per paragraph — pure waste in the
-    // hottest per-doc path)
-    val rawPer = paras.map(rawTokens)
-    val norm = rawPer.map(_.map(normalizeToken).filter(_.nonEmpty))
-    Tokenized(norm.filter(_.nonEmpty), rawPer.flatten)
+    if (text == null || text.isEmpty) return Tokenized(Array.empty, Array.empty)
+    val n = text.length
+    val rawAll = new scala.collection.mutable.ArrayBuffer[String](64)
+    val paras = new scala.collection.mutable.ArrayBuffer[Array[String]](8)
+    var paraNorm = new scala.collection.mutable.ArrayBuffer[String](32)
+    var tokStart = -1
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def endToken(end: Int): Unit = if (tokStart >= 0) {
+      val raw = text.substring(tokStart, end)
+      rawAll += raw
+      val norm = normalizeToken(raw)
+      if (norm.nonEmpty) paraNorm += norm
+      tokStart = -1
+    }
+    def endPara(): Unit = {
+      if (paraNorm.nonEmpty) { paras += paraNorm.toArray; paraNorm = new scala.collection.mutable.ArrayBuffer[String](32) }
+    }
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n' && i + 1 < n && text.charAt(i + 1) == '\n') {
+        endToken(i); endPara(); i += 2
+      } else if (isWs(c)) {
+        endToken(i); i += 1
+      } else {
+        if (tokStart < 0) tokStart = i
+        i += 1
+      }
+    }
+    endToken(n); endPara()
+    Tokenized(paras.toArray, rawAll.toArray)
   }
 }

@@ -59,6 +59,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused extract normalization ≡ sequential replace/split/collapse chain") {
+    // the reference composition the single-scan normalizeStripped replaced
+    def reference(s: String): String = {
+      val un = s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+      java.util.regex.Pattern.compile("\n{2,}").split(un).iterator
+        .map(p => java.util.regex.Pattern.compile("\\s+").matcher(p).replaceAll(" ").trim)
+        .filter(_.nonEmpty)
+        .mkString("\n\n")
+    }
+    val pieces = Array("a", "bc", "&", ";", "&amp;", "&lt;", "&gt;", "&quot;",
+      "&#39;", "&nbsp;", "&am", "lt;", "&lt", "#39;", " ", "\t", "\n", "\n\n",
+      "\r", "\u000B", "\f", "x1", "9", "&&", "&nbsp", ";;")
+    for (seed <- 0 until 500) {
+      val r = rng(seed)
+      val s = (0 until r.nextInt(60)).map(_ => pieces(r.nextInt(pieces.length))).mkString
+      val got = TextNorm.normalizeStripped(s)
+      val want = reference(s)
+      assert(got == want, s"input ${s.replace("\n", "\\n")}:\n got [$got]\nwant [$want]")
+    }
+  }
+
+  test("single-scan tokenize ≡ paragraphs/rawTokens/normalizeToken composition") {
+    def reference(text: String): (Seq[Seq[String]], Seq[String]) = {
+      val paras = TextNorm.paragraphs(text)
+      val rawPer = paras.map(TextNorm.rawTokens)
+      val norm = rawPer.map(_.map(TextNorm.normalizeToken).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty).toSeq
+      (norm, rawPer.flatten.toSeq)
+    }
+    val pieces = Array("word", "W0rd", "...", "!x!", "1234", "a-b", " ", "  ",
+      "\t", "\n", "\n\n", "\n\n\n", "\r\n", "\u000B", "\f", "é", "")
+    for (seed <- 0 until 500) {
+      val r = rng(seed)
+      val text = (0 until r.nextInt(50)).map(_ => pieces(r.nextInt(pieces.length))).mkString
+      val got = TextNorm.tokenize(text)
+      val (wantNorm, wantRaw) = reference(text)
+      assert(got.paraTokens.map(_.toSeq).toSeq == wantNorm, s"paraTokens for [${text.replace("\n", "\\n")}]")
+      assert(got.rawToks.toSeq == wantRaw, s"rawToks for [${text.replace("\n", "\\n")}]")
+    }
+  }
+
   test("murmur3 outputs are unsigned 32-bit; byte/string paths agree") {
     val r = rng(3)
     for (_ <- 0 until Cases) {
