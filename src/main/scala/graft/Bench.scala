@@ -113,18 +113,20 @@ object Bench {
   }
 
   // Quiet-window reference points for the contention gate (measured on this
-  // host in an uncontended window, BENCH.md round-2/3 tables: STREAM-triad
-  // ladder 32t = 105.7 GB/s; warmed 8-thread kernel = 34,257 docs/s). The
+  // host in an uncontended window: STREAM-triad ladder 32t = 105.7 GB/s
+  // [BENCH.md r3]; warmed 8-thread kernel = 43,000 docs/s [r4, re-calibrated
+  // via graft.BenchProbe after the fused text kernel — the r3 value 34,257
+  // would under-detect contention against the faster kernel]). The
   // host is a shared VM whose available CPU swings >2× within minutes; the
   // recorded bench line of rounds 1-3 was a lottery on that window. The gate
   // measures BOTH probes (the r3 window had a free bus but stolen CPUs —
   // membw alone under-detects), reports factor = max(quiet/measured, 1) in
   // the JSON, and backs off before the timed dedup levels while contended.
-  private val QuietKernel8 = 34257.0
+  private val QuietKernel8 = 43000.0
   private val QuietBw32 = 105.7
 
   /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). */
-  private def contentionProbe(): (Double, Double, Double) = {
+  private[graft] def contentionProbe(): (Double, Double, Double) = {
     val k8 = kernelRun(8, 6000)
     val bw = graft.tools.MemBandwidth.probe(32)
     val f = math.max(1.0, math.max(QuietKernel8 / k8, QuietBw32 / bw))
@@ -308,4 +310,15 @@ object Bench {
     */
   private def kernelScaling(): (Double, Double) =
     (kernelRun(8, 20000), kernelRun(32, 20000))
+}
+
+/** Standalone run of the contention gate's probe — for (re)calibrating the
+  * stored quiet-window references after a kernel change. */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    for (_ <- 0 until (if (args.nonEmpty) args(0).toInt else 3)) {
+      val (k8, bw32, f) = Bench.contentionProbe()
+      println(f"PROBE kernel8=$k8%.0f docs/s membw32=$bw32%.1f GB/s factor=$f%.2f")
+    }
+  }
 }
