@@ -15,8 +15,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object AnnOps {
 
-  /** Cosine similarity of two float-array columns via zip_with/aggregate. */
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** Cosine similarity of two float-array columns — the native codegen
+    * expression (`expr.CosineSim`): one static `ArrayData` call per row
+    * inside the whole-stage-codegen span. Bitwise-identical to the
+    * higher-order-function form below and to `cosineKernel` (asserted).
+    */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.expr.CosineSim.cos(a, b)
+
+  /** The declarative zip_with/aggregate form — kept as the independent
+    * reference implementation for the bitwise-parity test (HOF lambdas are
+    * re-interpreted per element, so the hot paths use `cosine` above).
+    */
+  private[graft] def cosineHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
@@ -51,29 +62,10 @@ object AnnOps {
   private[graft] def planeTensor(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, planes, dim)((t, p, i) => planeComponent(t, p, i))
 
-  /** Bit-exact replica of the Catalyst HOF cosine above (float products,
-    * double accumulation in index order, same epsilon) as a tight JVM loop —
-    * used for candidate scoring where the HOF form would re-interpret the
-    * lambda per element. Keep the two in sync: fixtures and the recall
-    * assertions depend on them agreeing bitwise.
-    */
-  private[graft] def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += (a(i) * b(i)).toDouble; i += 1 }
-    var na = 0.0
-    i = 0
-    while (i < a.length) { na += (a(i) * a(i)).toDouble; i += 1 }
-    var nb = 0.0
-    i = 0
-    while (i < b.length) { nb += (b(i) * b(i)).toDouble; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
-  }
-
-  /** Codegen-friendly scalar form of `cosineKernel` for joined pairs. */
-  private def cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    cosineKernel(a.toArray, b.toArray))
+  /** The primitive-array cosine loop (shared with the native expression;
+    * see `expr.CosineKernel` for the arithmetic contract). */
+  private[graft] def cosineKernel(a: Array[Float], b: Array[Float]): Double =
+    graft.expr.CosineKernel.score(a, b)
 
   /** Multi-table sign-LSH banding: `tables` independent hyperplane tables of
     * `planes` sign bits each → (band_id, band_hash, doc_id) rows, exactly
@@ -145,7 +137,7 @@ object AnnOps {
       .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
       .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
       .select(col("a").as("query_id"), col("b").as("neighbor_id"),
-        cosUdf(col("e_a"), col("e_b")).as("cos"))
+        cosine(col("e_a"), col("e_b")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -162,7 +154,7 @@ object AnnOps {
     cand
       .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
       .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
-      .withColumn("cos", cosUdf(col("e_a"), col("e_b")))
+      .withColumn("cos", cosine(col("e_a"), col("e_b")))
       .where(col("cos") >= threshold)
       .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"), col("cos"))
   }
@@ -250,7 +242,7 @@ object AnnOps {
       explode(probeUdf(col("embedding"))).as("cell"))
     val scored = queries.join(corpus, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosUdf(col("e_q"), col("e_c")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("e_q"), col("e_c")).as("cos"))
       // a (query, neighbor) pair can meet in at most one cell (corpus side
       // is single-assigned), so no dedup needed before ranking
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -228,21 +228,27 @@ class AnnOpsSpec extends SparkTestBase {
   }
 
   test("cosineKernel is bitwise-identical to the Catalyst HOF cosine") {
-    // the typed scoring kernel must replicate the declarative form exactly
-    // (float products, double accumulation in index order) — fixtures and
-    // rank ties depend on bit equality, not approximate equality
+    // three independent routes to the same number must agree BITWISE (float
+    // products, double accumulation in index order): the declarative HOF
+    // form, the native codegen expression (the shipped `AnnOps.cosine`) and
+    // the JVM kernel — fixtures and rank ties depend on bit equality
     val r = new java.util.Random(7)
     val rows = (1 to 200).map { i =>
       (i.toLong, Array.fill(64)((r.nextFloat() - 0.5f) * (1 + r.nextInt(5))),
         Array.fill(64)((r.nextFloat() - 0.5f) * (1 + r.nextInt(5))))
     }.toDF("id", "a", "b")
-    val hof = rows.select(col("id"), AnnOps.cosine(col("a"), col("b")).as("c"))
+    val hof = rows.select(col("id"), AnnOps.cosineHof(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val native = rows.select(col("id"), AnnOps.cosine(col("a"), col("b")).as("c"))
       .as[(Long, Double)].collect().toMap
     val kern = rows.as[(Long, Array[Float], Array[Float])].collect()
       .map { case (id, a, b) => id -> AnnOps.cosineKernel(a, b) }.toMap
-    for ((id, c) <- hof)
+    for ((id, c) <- hof) {
       assert(java.lang.Double.doubleToRawLongBits(c) ==
-        java.lang.Double.doubleToRawLongBits(kern(id)), s"id=$id $c vs ${kern(id)}")
+        java.lang.Double.doubleToRawLongBits(kern(id)), s"id=$id $c vs kernel ${kern(id)}")
+      assert(java.lang.Double.doubleToRawLongBits(c) ==
+        java.lang.Double.doubleToRawLongBits(native(id)), s"id=$id $c vs native ${native(id)}")
+    }
   }
 
   test("mapPartitions band kernel matches the declarative literal-plane construction") {

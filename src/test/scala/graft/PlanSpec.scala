@@ -41,6 +41,18 @@ class PlanSpec extends SparkTestBase {
     assert(df.collect().forall(_.getDouble(0) == 50.0))
   }
 
+  test("native cosine participates in whole-stage codegen (ANN scoring path)") {
+    val df = spark.range(8)
+      .select(array((0 until 4).map(i => (col("id") + i).cast("float")): _*).as("a"),
+        array((0 until 4).map(i => (col("id") * 2 + i).cast("float")): _*).as("b"))
+      .select(graft.ops.AnnOps.cosine(col("a"), col("b")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_cosine"), s"no codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalUDF") && !plan.toLowerCase.contains("scalaudf"),
+      s"cosine must not be a UDF:\n$plan")
+    assert(df.collect().forall(r => r.getDouble(0) > 0.0 && r.getDouble(0) <= 1.0))
+  }
+
   test("verify stage plan: no UDF fence around the candidate joins") {
     val pipe = new graft.pipeline.DedupPipeline(spark)
     val sigs = pipe.signatureStage(
