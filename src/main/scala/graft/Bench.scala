@@ -114,15 +114,21 @@ object Bench {
 
   // Quiet-window reference points for the contention gate (measured on this
   // host in an uncontended window: STREAM-triad ladder 32t = 105.7 GB/s
-  // [BENCH.md r3]; warmed 8-thread kernel = 43,000 docs/s [r4, re-calibrated
-  // via graft.BenchProbe after the fused text kernel — the r3 value 34,257
-  // would under-detect contention against the faster kernel]). The
-  // host is a shared VM whose available CPU swings >2× within minutes; the
-  // recorded bench line of rounds 1-3 was a lottery on that window. The gate
-  // measures BOTH probes (the r3 window had a free bus but stolen CPUs —
-  // membw alone under-detects), reports factor = max(quiet/measured, 1) in
-  // the JSON, and backs off before the timed dedup levels while contended.
-  private val QuietKernel8 = 43000.0
+  // [BENCH.md r3]; warmed 8-thread kernel = 56,200 docs/s). The kernel ref
+  // must be RE-SCALED whenever the kernel gets faster, or the gate
+  // under-detects contention against the new kernel: 43,000 [post-fusion
+  // r4] × (100.58 / 76.97 µs/doc, the measured KernelBench ratio of the
+  // SWAR-simhash + positional-shingle + fused-exact-hash changes) ≈ 56,200.
+  // The bus ref stays at the CONSERVATIVE 105.7 from r3 — the host itself
+  // swings between a ~105 GB/s and a ~150 GB/s state across days, and an
+  // aggressive ref would mislabel every slow-host-but-quiet window as
+  // contended. The host is a shared VM whose available CPU swings >2×
+  // within minutes; the recorded bench line of rounds 1-3 was a lottery on
+  // that window. The gate measures BOTH probes (the r3 window had a free
+  // bus but stolen CPUs — membw alone under-detects), reports
+  // factor = max(quiet/measured, 1) in the JSON, and backs off before the
+  // timed dedup levels while contended.
+  private val QuietKernel8 = 56200.0
   private val QuietBw32 = 105.7
 
   /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). */

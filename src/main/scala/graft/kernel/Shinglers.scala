@@ -51,54 +51,75 @@ final class KGramShingler(cfg: GraftConfig, weight: Int)
     * Returns the sentinel [0xFFFFFFFF] for empty docs.
     */
   def hashedShingles(doc: TextNorm.Tokenized): Array[Long] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Long](256)
-    val window = new Array[String](k)
+    // primitive output buffer (an ArrayBuffer[Long] boxes every append —
+    // ~200 boxed Longs/doc of pure garbage on the hottest kernel path)
+    var out = new Array[Long](256)
+    var outN = 0
     var scratch = new Array[Byte](256)
     val utf8 = new java.util.HashMap[String, Array[Byte]](128)
-    def bytesOf(s: String): Array[Byte] = {
-      var b = utf8.get(s)
-      if (b == null) { b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8); utf8.put(s, b) }
-      b
-    }
-    def hashSorted(toks: Array[String], from: Int, len: Int): Long = {
-      // insertion-sort `len` tokens into `window` (len <= k or whole short para)
-      val w = if (len <= window.length) window else new Array[String](len)
-      var i = 0
-      while (i < len) {
-        val t = toks(from + i)
-        var j = i - 1
-        while (j >= 0 && w(j).compareTo(t) > 0) { w(j + 1) = w(j); j -= 1 }
-        w(j + 1) = t
-        i += 1
-      }
-      var total = len - 1 // separators
-      i = 0
-      while (i < len) { total += bytesOf(w(i)).length; i += 1 }
-      if (scratch.length < total) scratch = new Array[Byte](math.max(total, scratch.length * 2))
-      var pos = 0
-      i = 0
-      while (i < len) {
-        if (i > 0) { scratch(pos) = ';'; pos += 1 }
-        val b = bytesOf(w(i))
-        System.arraycopy(b, 0, scratch, pos, b.length)
-        pos += b.length
-        i += 1
-      }
-      graft.hash.Murmur3.hashBytes(scratch, 0, pos, 0).toLong & 0xffffffffL
-    }
+    val widx = new Array[Int](k)
     var p = 0
     while (p < doc.paraTokens.length) {
       val toks = doc.paraTokens(p)
-      if (toks.length > k) {
+      val m = toks.length
+      if (m > 0) {
+        // positional UTF-8 byte cache, ONE map probe per token position —
+        // the per-window bytesOf() form probed the map k times per window
+        // (≈ 3× the lookups for k=3 with sliding overlap)
+        val tb = new Array[Array[Byte]](m)
         var i = 0
-        val last = toks.length - k
-        while (i <= last) { out += hashSorted(toks, i, k); i += 1 }
-      } else if (toks.nonEmpty) {
-        out += hashSorted(toks, 0, toks.length)
+        while (i < m) {
+          val t = toks(i)
+          var b = utf8.get(t)
+          if (b == null) { b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8); utf8.put(t, b) }
+          tb(i) = b
+          i += 1
+        }
+        // insertion-sort window POSITIONS by token order (same String
+        // ordering as sorting the strings; equal tokens have identical
+        // bytes, so tie order cannot affect the output)
+        def hashSortedRange(from: Int, len: Int): Long = {
+          val w = if (len <= widx.length) widx else new Array[Int](len)
+          var i = 0
+          while (i < len) {
+            val pos = from + i
+            val t = toks(pos)
+            var j = i - 1
+            while (j >= 0 && toks(w(j)).compareTo(t) > 0) { w(j + 1) = w(j); j -= 1 }
+            w(j + 1) = pos
+            i += 1
+          }
+          var total = len - 1 // separators
+          i = 0
+          while (i < len) { total += tb(w(i)).length; i += 1 }
+          if (scratch.length < total) scratch = new Array[Byte](math.max(total, scratch.length * 2))
+          var posOut = 0
+          i = 0
+          while (i < len) {
+            if (i > 0) { scratch(posOut) = ';'; posOut += 1 }
+            val b = tb(w(i))
+            System.arraycopy(b, 0, scratch, posOut, b.length)
+            posOut += b.length
+            i += 1
+          }
+          graft.hash.Murmur3.hashBytes(scratch, 0, posOut, 0).toLong & 0xffffffffL
+        }
+        def push(v: Long): Unit = {
+          if (outN == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          out(outN) = v
+          outN += 1
+        }
+        if (m > k) {
+          var i = 0
+          val last = m - k
+          while (i <= last) { push(hashSortedRange(i, k)); i += 1 }
+        } else {
+          push(hashSortedRange(0, m))
+        }
       }
       p += 1
     }
-    if (out.isEmpty) Array(HashMax) else out.toArray
+    if (outN == 0) Array(HashMax) else java.util.Arrays.copyOf(out, outN)
   }
 
   def generateSequences(doc: TextNorm.Tokenized): Seq[String] = {

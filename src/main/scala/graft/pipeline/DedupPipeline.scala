@@ -90,15 +90,72 @@ object DocSig {
     private val fuzzy = new FuzzyStatShingler(c, 1)
     private val HashMax = 0xffffffffL
 
+    private var normScratch = new Array[Byte](1024)
+
+    /** UTF-8 bytes of `paraTokens.map(_.mkString(" ")).mkString("\n")`
+      * assembled directly from token bytes into a reusable scratch (UTF-8
+      * is concatenative per code point, and ' '/'\n' are single-byte) —
+      * the exact-hash path otherwise materializes the full normalized
+      * String and converts it to bytes TWICE (once per hash seed pair).
+      * Returns the byte length in scratch.
+      */
+    private def normalizedBytes(paraTokens: Array[Array[String]]): Int = {
+      var total = if (paraTokens.length > 0) paraTokens.length - 1 else 0
+      var p = 0
+      while (p < paraTokens.length) {
+        val toks = paraTokens(p)
+        if (toks.length > 0) total += toks.length - 1
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          // ASCII fast path: tokens are overwhelmingly ASCII post-normalize
+          var ascii = true
+          var j = 0
+          while (ascii && j < t.length) { if (t.charAt(j) >= 0x80) ascii = false; j += 1 }
+          total += (if (ascii) t.length
+            else t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+          i += 1
+        }
+        p += 1
+      }
+      if (normScratch.length < total)
+        normScratch = new Array[Byte](math.max(total, normScratch.length * 2))
+      var pos = 0
+      p = 0
+      while (p < paraTokens.length) {
+        if (p > 0) { normScratch(pos) = '\n'; pos += 1 }
+        val toks = paraTokens(p)
+        var i = 0
+        while (i < toks.length) {
+          if (i > 0) { normScratch(pos) = ' '; pos += 1 }
+          val t = toks(i)
+          var ascii = true
+          var j = 0
+          while (ascii && j < t.length) { if (t.charAt(j) >= 0x80) ascii = false; j += 1 }
+          if (ascii) {
+            j = 0
+            while (j < t.length) { normScratch(pos) = t.charAt(j).toByte; pos += 1; j += 1 }
+          } else {
+            val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            System.arraycopy(b, 0, normScratch, pos, b.length)
+            pos += b.length
+          }
+          i += 1
+        }
+        p += 1
+      }
+      pos
+    }
+
     def compute(url: String, text: String): DocSig = {
       val tok = TextNorm.tokenize(if (text == null) "" else text)
       val n = tok.numTokens
       val hashable = n > c.minTokens
       val docId = SimHash.hash64("doc:" + url)
-      val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
       val hasExact = n >= c.exactHashMinTokens
-      val exactHash = if (hasExact) SimHash.hash64(normalized) else 0L
-      val exactHash2 = if (hasExact) SimHash.hash64b(normalized) else 0L
+      val normLen = if (hasExact) normalizedBytes(tok.paraTokens) else 0
+      val exactHash = if (hasExact) SimHash.hash64Bytes(normScratch, normLen) else 0L
+      val exactHash2 = if (hasExact) SimHash.hash64bBytes(normScratch, normLen) else 0L
       if (!hashable)
         return DocSig(docId, url, n, hashable = false, exactHash, exactHash2,
           hasExact, Array.emptyByteArray, 0L)

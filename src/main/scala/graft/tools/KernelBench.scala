@@ -33,6 +33,19 @@ object KernelBench {
     timed("tokenize only") {
       for (i <- 0 until n) TextNorm.tokenize(texts(i % texts.length))
     }
+    val toksAll = texts.map(TextNorm.tokenize)
+    timed("kgram hashedShingles") {
+      val kg1 = new KGramShingler(GraftConfig.default, 1)
+      for (i <- 0 until n) kg1.hashedShingles(toksAll(i % toksAll.length))
+    }
+    timed("normalized+exacthash") {
+      for (i <- 0 until n) {
+        val tok = toksAll(i % toksAll.length)
+        val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
+        graft.hash.SimHash.hash64(normalized)
+        graft.hash.SimHash.hash64b(normalized)
+      }
+    }
     val toks = texts.map(TextNorm.tokenize)
     val kg = new KGramShingler(GraftConfig.default, 1)
     timed("kgram sequences") {
