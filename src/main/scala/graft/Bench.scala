@@ -56,9 +56,12 @@ object Bench {
   }
 
   /** Materialize the bench corpus once (outside any timed window); both
-    * parallelism levels read the identical parquet input.
+    * parallelism levels read the identical parquet input. `private[graft]`
+    * so the diagnostic tools (GenCorpus/CandProfile/...) materialize the
+    * SAME corpus contract (path scheme, seed, write settings) instead of
+    * duplicating it.
     */
-  private def ensureCorpus(corpusSf: Double): String = {
+  private[graft] def ensureCorpus(corpusSf: Double): String = {
     val path = s"/tmp/graft-bench-corpus-sf$corpusSf"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val spark = mkSession(32, 64)
@@ -127,8 +130,14 @@ object Bench {
   // that window. The gate measures BOTH probes (the r3 window had a free
   // bus but stolen CPUs — membw alone under-detects), reports
   // factor = max(quiet/measured, 1) in the JSON, and backs off before the
-  // timed dedup levels while contended.
-  private val QuietKernel8 = 56200.0
+  // timed dedup levels while contended. The extrapolated 56,200 carries a
+  // margin down to 50,000 because the 8-thread probe is PARTLY bus-bound
+  // (8→32 kernel scaling ~0.6): a pure single-thread compute ratio can
+  // overstate the 8t gain in the slow-bus host state, and an over-high ref
+  // would mislabel genuinely quiet windows. Raw probe values always ship
+  // in the JSON, so consumers can recalibrate against any later
+  // quiet-window measurement.
+  private val QuietKernel8 = 50000.0
   private val QuietBw32 = 105.7
 
   /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). */

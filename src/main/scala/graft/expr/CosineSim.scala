@@ -1,11 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine kernel (static forwarder → callable from generated Java code).
   *
@@ -36,6 +36,18 @@ object CosineKernel {
     */
   def score(a: ArrayData, b: ArrayData): Double =
     score(a.toFloatArray(), b.toFloatArray())
+
+  /** Null-element probe (callable from generated code): `toFloatArray`
+    * would silently read a null slot as 0.0f, so the expression returns
+    * SQL NULL instead — matching the HOF form, where a null element
+    * poisons the aggregate to NULL.
+    */
+  def anyNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
 }
 
 /** Native Catalyst expression for cosine similarity over two
@@ -47,17 +59,40 @@ object CosineKernel {
   * element; this expression is one static call on raw `ArrayData`.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract for the SQL surface: without declared input
+  // types, graft_cosine(array(1.0, 2.0), ...) — DOUBLE literals — would
+  // pass analysis and then reinterpret 8-byte slots as floats at runtime
+  // (silent garbage). With them, mismatched numerics are implicitly CAST
+  // to array<float> and non-castable types fail analysis with a clear error.
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineKernel.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    // null ELEMENTS → SQL NULL (parity with the HOF form, whose aggregate
+    // is poisoned to NULL by a null element; toFloatArray would silently
+    // read the slot as 0.0f)
+    if (CosineKernel.anyNullElement(aa) || CosineKernel.anyNullElement(bb)) null
+    else CosineKernel.score(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expr.CosineKernel.score($a, $b);")
+      s"""
+         |if (graft.expr.CosineKernel.anyNullElement($a) ||
+         |    graft.expr.CosineKernel.anyNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expr.CosineKernel.score($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftglue.Bridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -54,7 +54,12 @@ object NormalizedMd5Kernel {
 /** Native Catalyst expression for the fingerprint — stays inside whole-stage
   * codegen (it feeds the exact-dedup groupBy over every document).
   */
-case class NormalizedMd5(child: Expression) extends UnaryExpression {
+case class NormalizedMd5(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  // analysis-time contract for the SQL surface (castable types coerce to
+  // string; others fail analysis rather than at runtime)
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "normalized_md5"

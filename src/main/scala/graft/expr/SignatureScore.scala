@@ -1,10 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftglue.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
 /** Positional-equality kernel (static forwarder → callable from generated
   * Java code). ≅ MinHash.calculateMinHashScore
@@ -27,7 +27,12 @@ object SigScoreKernel {
   * Scala UDF here would break the codegen span around the join).
   */
 case class SignatureScore(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract for the SQL surface: strings implicitly CAST to
+  // their UTF-8 bytes; non-castable types fail analysis instead of
+  // ClassCastException-ing at runtime
+  override def inputTypes = Seq(BinaryType, BinaryType)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sig_score"

@@ -54,7 +54,7 @@ object SimHash {
     * ints); bit b of the output is set iff 2·set(b) > n, which is exactly
     * the old ±1 vote's `votes(b) = 2·set(b) − n > 0`. Verified equivalent
     * against the per-bit reference on random and adversarial inputs
-    * (MinHasherSpec).
+    * (SimHashSpec).
     */
   def ofHashes(hs: Array[Long]): Long = {
     if (hs.isEmpty) return 0L

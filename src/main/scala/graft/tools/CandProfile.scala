@@ -20,8 +20,11 @@ object CandProfile {
     }
     val corpus = spark.read.parquet(path)
     val pipe = new DedupPipeline(spark)
-    // warm
-    pipe.run(spark.read.parquet("/tmp/graft-bench-corpus-sf0.05"), fromHtml = true)
+    // warm on the standard warmup corpus (materialized via the bench's own
+    // contract if absent), or on an explicit second argument
+    val warmPath =
+      if (args.length > 1) args(1) else graft.Bench.ensureCorpus(0.05)
+    pipe.run(spark.read.parquet(warmPath), fromHtml = true)
       .select("cluster_id").distinct().count()
     val sigs = pipe.signatureStage(pipe.extractStage(corpus, fromHtml = true))
       .toDF().where(col("hashable")).cache()

@@ -38,7 +38,11 @@ object KernelBench {
       val kg1 = new KGramShingler(GraftConfig.default, 1)
       for (i <- 0 until n) kg1.hashedShingles(toksAll(i % toksAll.length))
     }
-    timed("normalized+exacthash") {
+    // NOTE: this times the REPLACED String-materializing reference path
+    // (the shipped kernel assembles normalized bytes directly inside
+    // Kernel.compute — its cost is only visible in "full kernel"); kept as
+    // the upper-bound comparison line
+    timed("norm+exacthash (old)") {
       for (i <- 0 until n) {
         val tok = toksAll(i % toksAll.length)
         val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
@@ -46,7 +50,7 @@ object KernelBench {
         graft.hash.SimHash.hash64b(normalized)
       }
     }
-    val toks = texts.map(TextNorm.tokenize)
+    val toks = toksAll
     val kg = new KGramShingler(GraftConfig.default, 1)
     timed("kgram sequences") {
       for (i <- 0 until n) kg.generateSequences(toks(i % toks.length))

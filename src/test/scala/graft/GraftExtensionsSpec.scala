@@ -77,6 +77,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("input-type contract: doubles cast, strings cast, null elements → NULL") {
+    withExtSession { spark =>
+      // DOUBLE literals (the default SQL fractional type) implicitly CAST
+      // to array<float> — without declared inputTypes this reinterpreted
+      // 8-byte slots as floats and returned silent garbage
+      val viaDoubles = spark.sql(
+        "SELECT graft_cosine(array(1.0, 2.0), array(2.0, 4.0)) AS c")
+        .collect()(0).getDouble(0)
+      val kern = graft.expr.CosineKernel.score(Array(1.0f, 2.0f), Array(2.0f, 4.0f))
+      assert(java.lang.Double.doubleToRawLongBits(viaDoubles) ==
+        java.lang.Double.doubleToRawLongBits(kern))
+
+      // a null ELEMENT yields SQL NULL (HOF parity), not a 0.0-padded score
+      val nullRow = spark.sql(
+        """SELECT graft_cosine(array(cast(1.0 as float), cast(null as float)),
+          |                    array(cast(1.0 as float), cast(1.0 as float))) AS c""".stripMargin)
+        .collect()(0)
+      assert(nullRow.isNullAt(0), s"null element must produce NULL, got $nullRow")
+
+      // strings implicitly cast to their UTF-8 bytes for sig_score
+      val viaStrings = spark.sql("SELECT sig_score('x0', 'y0') AS s")
+        .collect()(0).getDouble(0)
+      assert(viaStrings == 50.0)
+    }
+  }
+
   test("wrong arity is rejected with a clear message") {
     withExtSession { spark =>
       val e = intercept[Exception] {

@@ -241,6 +241,33 @@ class SimHashSpec extends AnyFunSuite {
     assert(SimHash.chunks16(v).toSeq == Seq(0xdef0, 0x9abc, 0x5678, 0x1234))
   }
 
+  test("kernel exact hashes equal hashes of the mkString-normalized text") {
+    // the kernel assembles normalized UTF-8 bytes directly from token bytes
+    // (no String materialization); this pins it to the reference form
+    // paraTokens.map(_.mkString(" ")).mkString("\n") over adversarial
+    // inputs: non-ASCII, CJK, surrogate pairs, multi-paragraph
+    val c = graft.kernel.GraftConfig.default
+    val kernel = new graft.pipeline.DocSig.Kernel(c)
+    val texts = Seq(
+      "ascii" -> (1 to 15).map(i => s"tok$i").mkString(" "),
+      "unicode" -> ("naïve café 東京都 привет " +
+        (1 to 12).map(i => s"слово$i").mkString(" ")),
+      "multi-para" -> (1 to 8).map(i => s"para$i word$i thing$i other$i more$i")
+        .mkString("\n\n"),
+      "surrogates" -> (1 to 12).map(i => s"x𝕏$i plain$i").mkString(" "),
+      "mixed" -> ("ascii start 日本語テキスト middle ώμέγα " +
+        (1 to 10).map(i => s"end$i").mkString(" ") + "\n\nsecond πara 😀" +
+        (1 to 10).map(i => s" tail$i").mkString))
+    for ((name, text) <- texts) {
+      val tok = graft.kernel.TextNorm.tokenize(text)
+      val normalized = tok.paraTokens.map(_.mkString(" ")).mkString("\n")
+      val sig = kernel.compute("u-" + name, text)
+      assert(sig.has_exact, s"$name should clear the exact-hash token gate")
+      assert(sig.exact_hash == SimHash.hash64(normalized), s"$name hash64")
+      assert(sig.exact_hash2 == SimHash.hash64b(normalized), s"$name hash64b")
+    }
+  }
+
   test("SWAR ofHashes equals the per-bit ±1 vote reference") {
     // independent reference: the pre-SWAR branchless form
     def reference(hs: Array[Long]): Long = {
