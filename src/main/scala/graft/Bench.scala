@@ -140,12 +140,17 @@ object Bench {
   private val QuietKernel8 = 50000.0
   private val QuietBw32 = 105.7
 
-  /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). */
+  /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). A probe that
+    * failed outright (returned ≤ 0, e.g. the in-process triad under memory
+    * pressure) is excluded from the factor rather than driving it to
+    * infinity and wedging the backoff loop.
+    */
   private[graft] def contentionProbe(): (Double, Double, Double) = {
     val k8 = kernelRun(8, 6000)
     val bw = graft.tools.MemBandwidth.probe(32)
-    val f = math.max(1.0, math.max(QuietKernel8 / k8, QuietBw32 / bw))
-    (k8, bw, f)
+    val fk = if (k8 > 0) QuietKernel8 / k8 else 1.0
+    val fb = if (bw > 0) QuietBw32 / bw else 1.0
+    (k8, bw, math.max(1.0, math.max(fk, fb)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -199,10 +204,16 @@ object Bench {
     // re-probe just before the timed levels (the headline queries above take
     // minutes — the window can have turned either way); wait out a hot
     // window with bounded backoff rather than recording a lottery ticket
+    // record the LAST pre-dedup probe: it, not the startup gate, describes
+    // the window the timed levels actually entered (the startup value still
+    // ships as factor_pre)
     var waits = 0
-    while (waits < 3 && { val f = contentionProbe()._3; f > 1.5 }) {
+    var (preDedupK8, preDedupBw32, preDedupFactor) = contentionProbe()
+    while (waits < 3 && preDedupFactor > 1.5) {
       System.err.println(s"[bench] window still contended before dedup levels; backing off 90s (${waits + 1}/3)")
       Thread.sleep(90000); waits += 1
+      val p = contentionProbe()
+      preDedupK8 = p._1; preDedupBw32 = p._2; preDedupFactor = p._3
     }
     val r8 = Seq.fill(2)(dedupRun(8, 8, corpusPath, warmupPath))
     val r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
@@ -246,7 +257,7 @@ object Bench {
     // timed levels (the pre-run gate can't see a window turning mid-run)
     val (postK8, postBw32, postFactor) = contentionProbe()
     val contention =
-      f""""contention":{"factor_pre":$contentionFactor%.2f,"factor_post":$postFactor%.2f,"kernel8_probe_pre":$probeK8%.0f,"membw32_probe_pre":$probeBw32%.1f,"kernel8_probe_post":$postK8%.0f,"membw32_probe_post":$postBw32%.1f,"quiet_ref_kernel8":$QuietKernel8%.0f,"quiet_ref_membw32":$QuietBw32%.1f,"backoff_retried":$contentionRetried}"""
+      f""""contention":{"factor_pre":$contentionFactor%.2f,"factor_pre_dedup":$preDedupFactor%.2f,"factor_post":$postFactor%.2f,"kernel8_probe_pre":$probeK8%.0f,"membw32_probe_pre":$probeBw32%.1f,"kernel8_probe_pre_dedup":$preDedupK8%.0f,"membw32_probe_pre_dedup":$preDedupBw32%.1f,"kernel8_probe_post":$postK8%.0f,"membw32_probe_post":$postBw32%.1f,"quiet_ref_kernel8":$QuietKernel8%.0f,"quiet_ref_membw32":$QuietBw32%.1f,"backoff_retried":$contentionRetried,"dedup_backoffs":$waits}"""
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum

@@ -31,9 +31,11 @@ import graft.kernel.GraftConfig
   * (`DedupPipeline.probeDupPairs` — candidate work ∝ batch, never corpus),
   * the output is the merged-channel dup pairs touching the batch, and the
   * index state ROLLS FORWARD: new signatures and new reps' band postings
-  * append under `<checkpoint>/inc_sigs` / `inc_bands`, re-elected reps'
-  * stale postings are tombstoned under `inc_replaced` (keeping the stored
-  * band table rep-only), and re-sent urls are dropped by the M7 anti-join
+  * land in per-batch dirs under `<checkpoint>/inc_sigs` / `inc_bands`,
+  * re-elected reps' stale postings are tombstoned under `inc_replaced`
+  * (keeping the stored band table rep-only), all made visible atomically
+  * by a commit marker written last (see `runIncremental`'s crash-
+  * consistency note), and re-sent urls are dropped by the M7 anti-join
   * sweep. Repeated batches therefore keep matching the full-batch answer
   * on the growing union (asserted by test).
   */
@@ -85,7 +87,20 @@ object DedupJob {
   }
 
   /** One rolling incremental step; returns (pair rows written, fresh docs
-    * signed). See the object doc. */
+    * signed). See the object doc.
+    *
+    * CRASH CONSISTENCY: the three state deltas (band postings, rep
+    * tombstones, signatures) land in per-batch subdirectories
+    * (`inc_<table>/batch=<id>`) and become visible only when the batch's commit
+    * marker (`inc_commits/<id>`) is written LAST — readers union only
+    * COMMITTED batch dirs, so a crash between delta writes leaves orphan
+    * directories that the next run ignores and overwrites. The batch id is
+    * derived from the batch parquet's path + file listing, so a retry of
+    * the same batch lands in the same dirs (idempotent), an
+    * already-committed batch skips its state writes entirely (its urls are
+    * swept by the M7 anti-join anyway), and the same path with NEW content
+    * gets a fresh id.
+    */
   def runIncremental(spark: SparkSession, a: Args,
       cfg: GraftConfig = GraftConfig.default): (Long, Long) = {
     import org.apache.spark.sql.functions.col
@@ -96,39 +111,65 @@ object DedupJob {
       spark, spark.read.parquet(a.input), ledger, corpusTag = a.input, cfg, a.opts,
       fromHtml = a.fromHtml)
 
-    def readOpt(path: String, like: org.apache.spark.sql.DataFrame) = {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(hp)) spark.read.parquet(path) else like.limit(0)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def fsOf(p: String) = new org.apache.hadoop.fs.Path(p).getFileSystem(hadoopConf)
+    val fs = fsOf(chk)
+
+    // deterministic batch identity: path + sorted (name, length) listing —
+    // stable across retries of the same files, different for new content
+    val batchId = {
+      val bp = new org.apache.hadoop.fs.Path(a.incremental.get)
+      val listing = fsOf(a.incremental.get).listStatus(bp)
+        .map(st => s"${st.getPath.getName}:${st.getLen}").sorted.mkString(",")
+      java.lang.Long.toHexString(
+        graft.hash.SimHash.hash64(s"batch:${a.incremental.get}:$listing"))
     }
+    val commitsPath = new org.apache.hadoop.fs.Path(s"$chk/inc_commits")
+    val committed: Seq[String] =
+      if (!fs.exists(commitsPath)) Seq.empty
+      else fs.listStatus(commitsPath).map(_.getPath.getName).toSeq.sorted
+
     val sigCols = Seq("doc_id", "url", "n_tokens", "hashable", "exact_hash",
       "exact_hash2", "has_exact", "sig", "simhash").map(col)
     val bandCols = Seq("doc_id", "band_id", "band_hash").map(col)
+    // state read = union of COMMITTED per-batch delta dirs only (orphans
+    // from a crashed run are invisible)
+    def readCommitted(sub: String, like: org.apache.spark.sql.DataFrame) = {
+      val dirs = committed.map(id => s"$chk/$sub/batch=$id").filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (dirs.isEmpty) like.limit(0) else spark.read.parquet(dirs: _*)
+    }
     val oldSigs = baseSigs.select(sigCols: _*)
-      .unionByName(readOpt(s"$chk/inc_sigs", baseSigs).select(sigCols: _*))
-    val replaced = readOpt(s"$chk/inc_replaced", baseSigs.select("doc_id"))
+      .unionByName(readCommitted("inc_sigs", baseSigs).select(sigCols: _*))
+    val replaced = readCommitted("inc_replaced", baseSigs.select("doc_id"))
     val oldBands = baseBands.select(bandCols: _*)
-      .unionByName(readOpt(s"$chk/inc_bands", baseBands.select(bandCols: _*)))
+      .unionByName(readCommitted("inc_bands", baseBands.select(bandCols: _*)))
       .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // M7 sweep: re-sent urls are already indexed — only genuinely new rows sign
     val batch = pipe.extractStage(spark.read.parquet(a.incremental.get), a.fromHtml)
     val fresh = graft.ops.MaintenanceOps.newDocs(batch, oldSigs)
     val newSigs = pipe.signatureStage(fresh).toDF().cache()
-    // materialize the cache BEFORE any state append: the lineage's anti-join
-    // reads inc_sigs, and a post-append re-evaluation would see the batch's
-    // own rows and collapse `fresh` to empty
+    // materialize the cache up front; a cache-partition loss later recomputes
+    // against the same COMMITTED state (this batch's deltas are not yet
+    // visible), so recomputation is identical
     val freshCount = newSigs.count()
+    // ONE probe plan serves both the pair output and the state deltas
     val parts = pipe.probeParts(oldSigs, newSigs, Some(oldBands))
-    val pairs = pipe.probeDupPairs(oldSigs, newSigs, Some(oldBands))
+    val pairs = pipe.probeDupPairsFrom(parts, oldSigs, newSigs)
     pairs.write.mode("overwrite").parquet(a.output)
     val pairCount = spark.read.parquet(a.output).count()
-    // roll the index state forward for the next batch. Order matters: the
-    // band/tombstone deltas' lazy plans read the PRE-batch inc_sigs state,
-    // so the new signatures append last.
-    parts.newBands.select(bandCols: _*).write.mode("append").parquet(s"$chk/inc_bands")
-    parts.replacedReps.select("doc_id").write.mode("append").parquet(s"$chk/inc_replaced")
-    newSigs.select(sigCols: _*).write.mode("append").parquet(s"$chk/inc_sigs")
+    if (!committed.contains(batchId)) {
+      parts.newBands.select(bandCols: _*)
+        .write.mode("overwrite").parquet(s"$chk/inc_bands/batch=$batchId")
+      parts.replacedReps.select("doc_id")
+        .write.mode("overwrite").parquet(s"$chk/inc_replaced/batch=$batchId")
+      newSigs.select(sigCols: _*)
+        .write.mode("overwrite").parquet(s"$chk/inc_sigs/batch=$batchId")
+      // commit LAST: the deltas become visible atomically with this marker
+      fs.mkdirs(commitsPath)
+      fs.create(new org.apache.hadoop.fs.Path(commitsPath, batchId), true).close()
+    }
     newSigs.unpersist()
     (pairCount, freshCount)
   }

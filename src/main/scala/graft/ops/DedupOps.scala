@@ -109,8 +109,11 @@ object DedupOps {
     * join the cap exists to prevent.
     */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
-      k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame = {
-    val sets = shingleSets(spark, docs, k)
+      k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame =
+    ngramJaccardPairsFromSets(shingleSets(spark, docs, k), threshold, maxPostings)
+
+  private def ngramJaccardPairsFromSets(sets: DataFrame,
+      threshold: Double, maxPostings: Int): DataFrame = {
     val postings = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
     // canonical order = (df asc, hash asc): global, deterministic, and it
@@ -140,8 +143,14 @@ object DedupOps {
           col("y.set_size") * lit(threshold) <= col("x.set_size"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
-    verifyJaccard(cand, ordered.select(col("doc_id"), col("ord").as("shingles"),
+    val out = verifyJaccard(cand, ordered.select(col("doc_id"), col("ord").as("shingles"),
       col("set_size")), threshold)
+    // eager cut-over so the cached per-doc ordered arrays can be dropped NOW
+    // (they would otherwise stay pinned for the session lifetime); the pair
+    // output is threshold-bounded and far smaller than the cache it frees
+    val result = out.localCheckpoint(true)
+    ordered.unpersist()
+    result
   }
 
   /** The PLAIN postings self-join alternative to `ngramJaccardPairs`: every
@@ -162,8 +171,12 @@ object DedupOps {
     * one-row E[df] probe.
     */
   def ngramJaccardPairsPlain(spark: SparkSession, docs: DataFrame,
-      k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame = {
-    val sets = shingleSets(spark, docs, k).cache()
+      k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame =
+    ngramJaccardPairsPlainFromSets(shingleSets(spark, docs, k), threshold, maxPostings)
+
+  private def ngramJaccardPairsPlainFromSets(sets0: DataFrame,
+      threshold: Double, maxPostings: Int): DataFrame = {
+    val sets = sets0.cache()
     val postings = sets.select(col("doc_id"), col("set_size"), explode(col("shingles")).as("sh"))
     val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
     val keep = postings.join(dfTab.where(col("df") <= maxPostings).select("sh"), Seq("sh"))
@@ -173,7 +186,9 @@ object DedupOps {
           col("y.set_size") * lit(threshold) <= col("x.set_size"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
-    verifyJaccard(cand, sets, threshold)
+    val result = verifyJaccard(cand, sets, threshold).localCheckpoint(true)
+    sets.unpersist()
+    result
   }
 
   /** Dispatches prefix-filtered vs plain on a one-row probe of
@@ -186,15 +201,24 @@ object DedupOps {
   def ngramJaccardAuto(spark: SparkSession, docs: DataFrame,
       k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000,
       eDfCutoff: Double = 20.0): DataFrame = {
-    val (eDf, _) = ngramJaccardAutoStat(spark, docs, k)
-    if (eDf >= eDfCutoff) ngramJaccardPairs(spark, docs, k, threshold, maxPostings)
-    else ngramJaccardPairsPlain(spark, docs, k, threshold, maxPostings)
+    // shingle ONCE (the dominant cost of this whole path): the dispatch
+    // stat and the chosen generator share the cached sets
+    val sets = shingleSets(spark, docs, k).cache()
+    val (eDf, _) = statFromSets(sets)
+    val result =
+      if (eDf >= eDfCutoff) ngramJaccardPairsFromSets(sets, threshold, maxPostings)
+      else ngramJaccardPairsPlainFromSets(sets, threshold, maxPostings)
+    // both generators eagerly materialized their output — safe to drop
+    sets.unpersist()
+    result
   }
 
   /** (E[df of a random posting] = Σdf²/Σdf, mean df) — the one-row probe
     * `ngramJaccardAuto` dispatches on. */
-  def ngramJaccardAutoStat(spark: SparkSession, docs: DataFrame, k: Int = 3): (Double, Double) = {
-    val sets = shingleSets(spark, docs, k)
+  def ngramJaccardAutoStat(spark: SparkSession, docs: DataFrame, k: Int = 3): (Double, Double) =
+    statFromSets(shingleSets(spark, docs, k))
+
+  private def statFromSets(sets: DataFrame): (Double, Double) = {
     val postings = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val stat = postings.groupBy("sh").agg(count(lit(1)).as("df"))
       .agg((sum(col("df") * col("df")) / sum(col("df"))).as("e_df"),

@@ -65,17 +65,10 @@ object MaintenanceOps {
     }
     val bands = ledger.stage("dedup_bands",
         ledger.descriptor("dedup_bands", params, Seq(sigDesc))) {
-      val (reps, _) = pipe.exactGroups(sigs)
-      val hashable = sigs.where(col("hashable"))
-      val repSigs = hashable
-        .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        .unionByName(hashable.where(!col("has_exact")))
-      val mh = pipe.bandStage(repSigs)
-      val all = if (opts.simHashChannel) mh.unionByName(pipe.simhashBandStage(repSigs)) else mh
       // co-locate by band key: the persisted probe layout (Iceberg
       // `band_id, bucket(band_hash)` partitioning analog)
       val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      all.repartition(n, col("band_id"), col("band_hash"))
+      pipe.repBandTable(sigs).repartition(n, col("band_id"), col("band_hash"))
     }
     (sigs, bands)
   }
@@ -108,7 +101,10 @@ object MaintenanceOps {
     * collide with existing urls (that would be a merge, not a rename).
     */
   def renameDocs(spark: SparkSession, sigs: DataFrame, bands: DataFrame,
-      renames: Map[String, String]): (DataFrame, DataFrame) = {
+      renames: Map[String, String],
+      cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions(),
+      repOnlyBands: Boolean = true): (DataFrame, DataFrame) = {
     import spark.implicits._
     require(renames.values.toSet.size == renames.size, "rename targets must be distinct")
     val clashes = sigs.where(col("url").isInCollection(renames.values.toSet))
@@ -116,18 +112,64 @@ object MaintenanceOps {
     require(clashes == 0, "rename target url already exists (merge, not rename)")
     val newIdUdf = udf((u: String) => graft.hash.SimHash.hash64("doc:" + u))
     val m = renames.toSeq.toDF("url", "new_url")
+    // doc_id rekey map for the derived tables, from the ORIGINAL sigs
+    val idMap = sigs.join(broadcast(m), Seq("url"))
+      .select(col("doc_id"), newIdUdf(col("new_url")).as("new_doc_id")).cache()
+    // id-collision guard (the birthday event resolveIdCollisions repairs in
+    // the pipeline): a renamed id colliding with a RETAINED doc's id — or
+    // with another renamed id — would silently merge two documents through
+    // every derived table. Admin operation → fail loudly; pick another name.
+    require(idMap.select("new_doc_id").distinct().count() == idMap.count(),
+      "renamed doc_ids collide with each other (1-in-2^64 event) — pick another name")
+    val idClash = sigs
+      .join(broadcast(idMap.select(col("new_doc_id").as("doc_id"))), Seq("doc_id"), "left_semi")
+      .join(broadcast(idMap.select("doc_id")), Seq("doc_id"), "left_anti")
+      .limit(1).count()
+    require(idClash == 0,
+      "renamed doc_id collides with an existing doc (1-in-2^64 event) — pick another name")
     val sigs2 = sigs.join(broadcast(m), Seq("url"), "left")
       .withColumn("doc_id",
         when(col("new_url").isNotNull, newIdUdf(col("new_url"))).otherwise(col("doc_id")))
       .withColumn("url", coalesce(col("new_url"), col("url")))
       .drop("new_url")
-    // doc_id rekey map for the derived tables, from the ORIGINAL sigs
-    val idMap = sigs.join(broadcast(m), Seq("url"))
-      .select(col("doc_id"), newIdUdf(col("new_url")).as("new_doc_id"))
     val bands2 = bands.join(broadcast(idMap), Seq("doc_id"), "left")
       .withColumn("doc_id", coalesce(col("new_doc_id"), col("doc_id")))
       .drop("new_doc_id")
-    (sigs2, bands2)
+    if (!repOnlyBands) return (sigs2, bands2)
+
+    // REP RE-ELECTION for the rep-only band table (the flavor `run()` /
+    // `buildOrLoadDedupIndex` persist): the banded representative of an
+    // exact group is its MIN doc_id, and re-keying a member can change the
+    // minimum — a pure posting re-key would leave the WRONG member banded
+    // and break the probe-vs-fresh-run equivalence. For every exact group
+    // containing a renamed doc, compare the (re-keyed) old rep with the
+    // fresh minimum over the renamed table: where they differ, drop the old
+    // rep's postings and band the new rep via the shared repBandTable
+    // recipe. All affected-group tables are rename-sized → broadcast.
+    val affected = sigs.join(broadcast(m), Seq("url"))
+      .where(col("has_exact")).select("exact_hash", "exact_hash2").distinct()
+    val oldReps = sigs.where(col("has_exact"))
+      .join(broadcast(affected), Seq("exact_hash", "exact_hash2"))
+      .groupBy("exact_hash", "exact_hash2").agg(min("doc_id").as("old_rep"))
+    val oldRepsNow = oldReps
+      .join(broadcast(idMap), oldReps("old_rep") === idMap("doc_id"), "left")
+      .select(col("exact_hash"), col("exact_hash2"),
+        coalesce(col("new_doc_id"), col("old_rep")).as("old_rep_now"))
+    val newReps = sigs2.where(col("has_exact"))
+      .join(broadcast(affected), Seq("exact_hash", "exact_hash2"))
+      .groupBy("exact_hash", "exact_hash2").agg(min("doc_id").as("new_rep"))
+    val repChanges = oldRepsNow.join(newReps, Seq("exact_hash", "exact_hash2"))
+      .where(col("old_rep_now") =!= col("new_rep")).cache()
+    val dropIds = repChanges.select(col("old_rep_now").as("doc_id"))
+    val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
+    // restrict sigs2 to the new reps' rows and reuse the ONE rep-band recipe
+    // (the reps of these groups are exactly the new_rep ids by construction)
+    val addSigs = sigs2
+      .join(broadcast(repChanges.select(col("new_rep").as("doc_id"))), Seq("doc_id"), "left_semi")
+    val added = pipe.repBandTable(addSigs)
+    val bands3 = bands2.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .unionByName(added)
+    (sigs2, bands3)
   }
 
   /** L5/J6 analog — delete docs: cascade the removal through the signature

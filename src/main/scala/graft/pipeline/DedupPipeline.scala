@@ -327,6 +327,26 @@ final class DedupPipeline(
         col("band_hash"))
   }
 
+  /** THE rep-only band table recipe — the single definition of what the
+    * persisted/probed band table contains: one banded signature per exact
+    * group (the min-doc_id representative, V7 exact-implies-match pruning),
+    * non-exact hashable docs banded individually, simhash chunk tables
+    * unioned when that channel is on. `run()`, the persisted dedup index,
+    * the probe fallback and the rename cascade ALL call this — the probe-vs-
+    * batch equivalence of incremental mode depends on there being exactly
+    * one copy of this invariant. Pass `precomputedReps` when `exactGroups`
+    * was already evaluated to avoid a second aggregation.
+    */
+  def repBandTable(sigs0: DataFrame, precomputedReps: Option[DataFrame] = None): DataFrame = {
+    val reps = precomputedReps.getOrElse(exactGroups(sigs0)._1)
+    val hashable = sigs0.where(col("hashable"))
+    val repSigs = hashable
+      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(hashable.where(!col("has_exact")))
+    val mh = bandStage(repSigs)
+    if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
+  }
+
   // ---- candidate generation (the load-bearing shuffle) ----------------
 
   /** Per-band-group pair emission with stop-band capping; pair kept when it
@@ -425,15 +445,8 @@ final class DedupPipeline(
     val (reps, exactEdges0) = exactGroups(sigs0)
     val exactEdges = runStage("exact_edges", "", Seq("signatures")) { exactEdges0 }
 
-    // band only one signature per exact-group (implies-match pruning);
-    // docs without an exact hash still band individually
-    val repSigs = sigs
-      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      .unionByName(sigs.where(!col("has_exact")))
-
     val bandTable = runStage("bands", s"bands=${cfg.bands}", Seq("signatures")) {
-      val mh = bandStage(repSigs)
-      val all = if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
+      val all = repBandTable(sigs0, Some(reps))
       // co-locate by band key only when the table is being persisted for
       // probes/resume (the Iceberg layout analog: partition by band_id,
       // bucket(band_hash)); in the fused run candidateStage shuffles on the
@@ -524,9 +537,18 @@ final class DedupPipeline(
       newBands: DataFrame, replacedReps: DataFrame)
 
   def probeDupPairs(oldSigs0: DataFrame, newSigs0: DataFrame,
-      oldBands: Option[DataFrame] = None): DataFrame = {
+      oldBands: Option[DataFrame] = None): DataFrame =
+    probeDupPairsFrom(probeParts(oldSigs0, newSigs0, oldBands), oldSigs0, newSigs0)
+
+  /** As `probeDupPairs` over an ALREADY-BUILT `ProbeParts` — callers that
+    * also consume the state deltas (DedupJob's rolling mode) must not pay
+    * the probe-plan construction (old-side exact-group aggregation, band
+    * probe) twice.
+    */
+  private[graft] def probeDupPairsFrom(parts: ProbeParts,
+      oldSigs0: DataFrame, newSigs0: DataFrame): DataFrame = {
     val newIds = newSigs0.select("doc_id")
-    val ProbeParts(candInput, exactEdges, _, _) = probeParts(oldSigs0, newSigs0, oldBands)
+    val ProbeParts(candInput, exactEdges, _, _) = parts
 
     // ---- candidate generation over the probed subset only ----
     val candidates = candidateStage(candInput, cfg.bandMatchesRequired)
@@ -593,13 +615,7 @@ final class DedupPipeline(
     val oldBandTable = oldBands.getOrElse {
       // no persisted band table: one linear rep-banding pass over the old
       // corpus (narrow, no shuffle) — still never a corpus-wide pair stage
-      val (reps, _) = exactGroups(oldSigs0)
-      val oldHashable = oldSigs0.where(col("hashable"))
-      val oldRepSigs = oldHashable
-        .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        .unionByName(oldHashable.where(!col("has_exact")))
-      val mh = bandStage(oldRepSigs)
-      if (opts.simHashChannel) mh.unionByName(simhashBandStage(oldRepSigs)) else mh
+      repBandTable(oldSigs0)
     }
     val oldProbe = packKey(oldBandTable)
       .join(broadcast(probeKeys), Seq("band_key"), "left_semi")
@@ -621,11 +637,7 @@ final class DedupPipeline(
     val sigs = sigs0.where(col("hashable"))
     // exact channel sees ALL has_exact docs, incl. the short non-minhashable gap
     val (reps, exactEdges) = exactGroups(sigs0)
-    val repSigs = sigs
-      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      .unionByName(sigs.where(!col("has_exact")))
-    val mh = bandStage(repSigs)
-    val all = if (opts.simHashChannel) mh.unionByName(simhashBandStage(repSigs)) else mh
+    val all = repBandTable(sigs0, Some(reps))
     val candidates = candidateStage(all, cfg.bandMatchesRequired)
     val lsh = verifyStage(candidates, sigs)
       .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
@@ -827,8 +839,21 @@ object DedupPipeline {
         }
       }
       .toDF("a", "b")
-    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+    val result = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
       .where(col("n_bands") >= bandMatchesRequired)
+    if (prefilterHot) result
+    else {
+      // eager cut-over so the band-explode cache can be dropped NOW: without
+      // this every candidateStage/phash/ANN call leaks one pinned serialized
+      // explode (16 B × postings) for the session lifetime. The ≥r-band pair
+      // table is cap-bounded and far smaller than the cache it frees; at the
+      // 10^12 design point the candidates stage is ledger-staged to reliable
+      // parquet anyway, so the ephemeral localCheckpoint is bench/local-only
+      // state.
+      val out = result.localCheckpoint(eager = true)
+      cached.unpersist()
+      out
+    }
   }
 
   /** A4 analog — per-pair elementwise merge of the fuzzy and exact channels:

@@ -85,11 +85,19 @@ object StreamingIndex {
     * State size is ∝ the band table (≤ cap entries per distinct band key)
     * — bound retention with a state TTL at the query level where needed.
     *
-    * Emission at the cap crossing is BATCH-BOUNDARY-INDEPENDENT: pairs
-    * verified while the key held ≤ cap residents always emit — including
-    * those of the doc whose insertion crosses the cap — and docs arriving
-    * after the tombstone (same batch or later) emit nothing. The same
-    * arrival order split into different micro-batches emits the same pairs.
+    * Emission near the cap crossing: within each micro-batch, a key's rows
+    * process in ascending doc_id order (Spark's group-iterator order is
+    * otherwise execution-dependent; the sort makes per-batch output
+    * deterministic). Pairs verified while the key held ≤ cap residents
+    * always emit — including those of the doc whose insertion crosses the
+    * cap (no retroactive drop) — and docs arriving after the tombstone
+    * (same batch or later) emit nothing. Because processing order is
+    * PER-BATCH doc_id order rather than a global arrival order, WHICH
+    * docs precede the tombstone can depend on where batch boundaries fall
+    * for a key straddling its cap: an id-ordered arrival stream is exactly
+    * boundary-independent (asserted by test), while unordered arrivals
+    * would need a caller-supplied total-order column carried into state —
+    * which the (url, text) stream deliberately does not require.
     */
   def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
       cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] = {

@@ -14,32 +14,45 @@ package graft.tools
   */
 object MemBandwidth {
 
-  /** One aggregate-triad measurement at `threads` threads, GB/s. */
+  /** One aggregate-triad measurement at `threads` threads, GB/s. Returns
+    * 0.0 (never hangs) if a worker dies — e.g. OutOfMemoryError allocating
+    * its ~3×`mbPerThread` arrays when run IN-PROCESS inside the bench JVM:
+    * a dead worker would otherwise leave both the start barrier and the
+    * completion latch waiting forever. Workers count down in a finally;
+    * the start barrier and the latch are both time-bounded.
+    */
   def triadGbs(threads: Int, mbPerThread: Int = 64): Double = {
+    import java.util.concurrent.TimeUnit
     val n = mbPerThread * 1024 * 1024 / 8 / 3 // three arrays per thread
     val reps = 8
     val barrier = new java.util.concurrent.CyclicBarrier(threads + 1)
     val done = new java.util.concurrent.CountDownLatch(threads)
     val sink = new java.util.concurrent.atomic.DoubleAdder
     for (_ <- 0 until threads) {
-      new Thread(() => {
-        val a = new Array[Double](n)
-        val b = Array.tabulate(n)(i => i * 0.5)
-        val c = Array.tabulate(n)(i => i * 0.25)
-        barrier.await()
-        var r = 0
-        while (r < reps) {
-          var i = 0
-          while (i < n) { a(i) = b(i) + 1.5 * c(i); i += 1 }
-          r += 1
-        }
-        sink.add(a(n - 1))
-        done.countDown()
-      }).start()
+      val th = new Thread(() => {
+        try {
+          val a = new Array[Double](n)
+          val b = Array.tabulate(n)(i => i * 0.5)
+          val c = Array.tabulate(n)(i => i * 0.25)
+          barrier.await(120, TimeUnit.SECONDS)
+          var r = 0
+          while (r < reps) {
+            var i = 0
+            while (i < n) { a(i) = b(i) + 1.5 * c(i); i += 1 }
+            r += 1
+          }
+          sink.add(a(n - 1))
+        } catch {
+          case _: Throwable => // broken barrier / OOM: recorded via the latch
+        } finally done.countDown()
+      })
+      th.setDaemon(true)
+      th.start()
     }
-    barrier.await()
+    try barrier.await(120, TimeUnit.SECONDS)
+    catch { case _: Throwable => return 0.0 } // a worker died pre-start
     val t0 = System.nanoTime()
-    done.await()
+    if (!done.await(600, TimeUnit.SECONDS)) return 0.0
     val secs = (System.nanoTime() - t0) / 1e9
     // triad moves 3 arrays × 8 bytes × n × reps per thread (2 reads + 1 write)
     val bytes = 3.0 * 8 * n * reps * threads

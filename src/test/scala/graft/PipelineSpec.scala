@@ -437,6 +437,29 @@ class DedupJobSpec extends SparkTestBase {
     // the exact copy of a base doc
     assert(got2.exists(p => ids("n2-1").contains(p._1) || ids("n2-1").contains(p._2)))
     assert(got2.exists(p => ids("n2-2").contains(p._1) || ids("n2-2").contains(p._2)))
+
+    // CRASH CONSISTENCY: (a) an orphan uncommitted delta dir — the residue
+    // of a run that died between writes — must be invisible to later runs
+    Seq((999999L, 0, 123L)).toDF("doc_id", "band_id", "band_hash")
+      .write.parquet(s"$tmp/ckpt/inc_bands/batch=deadorphan")
+    // (b) re-running an already-committed batch must be a no-op on state
+    // (fresh=0 via the sweep) and must NOT wipe its earlier deltas
+    val (p2b, fresh2b) = graft.DedupJob.runIncremental(spark, argsFor("batch2", "out2b"))
+    assert(fresh2b == 0, "rerun of a committed batch must sign nothing")
+    assert(p2b == 0)
+    // (c) a further batch over the (orphan-polluted, rerun) state still
+    // matches the full-batch ground truth on the grown union
+    Seq(("n3-1", t("kz", 21))).toDF("url", "text").write.parquet(s"$tmp/batch3")
+    val (_, fresh3) = graft.DedupJob.runIncremental(spark, argsFor("batch3", "out3"))
+    assert(fresh3 == 1)
+    val all3 = all ++ Seq(("n3-1", t("kz", 21)))
+    val pairs3Truth = pipe.dupPairs(all3.toDF("url", "text"), fromHtml = false)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val got3 = spark.read.parquet(s"$tmp/out3")
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val new3 = ids("n3-1")
+    assert(got3 == pairs3Truth.filter(p => new3.contains(p._1) || new3.contains(p._2)),
+      s"step3 $got3")
   }
 }
 

@@ -241,33 +241,56 @@ class MaintenanceSpec extends SparkTestBase {
     assert(rebuilt == direct)
   }
 
-  test("rename cascades consistently through signature and band tables") {
+  test("rename cascades consistently through signature and REP-ONLY band tables") {
+    // the persisted band table bands only each exact group's MIN-doc_id
+    // representative, and a rename re-keys ids — so the cascade must
+    // RE-ELECT reps, in both directions: (A) the renamed doc takes over as
+    // rep, (B) the renamed doc was the rep and hands off. Both scenarios
+    // are forced deterministically by choosing rename targets whose hashed
+    // ids sort below/above the other group member's.
     def t(tag: String): String =
       (1 to 40).map(w => s"$tag${('a' + w % 26).toChar}$w").mkString(" ")
     val docs = Seq(("rn-1", t("rn")), ("rn-2", t("rn")), ("rq-1", t("rq")))
       .toDF("url", "text")
     val pipe = new graft.pipeline.DedupPipeline(spark)
     val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF().cache()
-    val bands = pipe.bandStage(sigs.where(col("hashable"))).cache()
+    val bands = pipe.repBandTable(sigs).cache()
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    def pickName(pred: Long => Boolean): String =
+      Iterator.from(0).map(i => s"renamed/rn-$i").find(n => pred(id(n))).get
+    val ids = sigs.where(col("url").startsWith("rn-"))
+      .select("url", "doc_id").as[(String, Long)].collect().toMap
+    val repUrl = if (ids("rn-1") < ids("rn-2")) "rn-1" else "rn-2"
+    val nonRepUrl = if (repUrl == "rn-1") "rn-2" else "rn-1"
 
-    val renames = Map("rn-1" -> "renamed/rn-1", "rq-1" -> "renamed/rq-1")
-    val (sigs2, bands2) = MaintenanceOps.renameDocs(spark, sigs, bands, renames)
+    def check(renames: Map[String, String], label: String): Unit = {
+      val (sigs2, bands2) = MaintenanceOps.renameDocs(spark, sigs, bands, renames)
+      val renamedDocs = Seq(
+        (renames.getOrElse("rn-1", "rn-1"), t("rn")),
+        (renames.getOrElse("rn-2", "rn-2"), t("rn")),
+        (renames.getOrElse("rq-1", "rq-1"), t("rq"))).toDF("url", "text")
+      val sigsRef = pipe.signatureStage(pipe.extractStage(renamedDocs, fromHtml = false))
+        .toDF().cache()
+      val bandsRef = pipe.repBandTable(sigsRef)
+      def sigKey(df: org.apache.spark.sql.DataFrame) =
+        df.select("url", "doc_id", "exact_hash", "simhash").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      assert(sigKey(sigs2) == sigKey(sigsRef),
+        s"$label: renamed signature table must equal a fresh run")
+      def bandKey(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "band_id", "band_hash").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(bandKey(bands2) == bandKey(bandsRef),
+        s"$label: renamed band table must equal a fresh run")
+    }
 
-    // ground truth: the pipeline run from scratch on the renamed corpus
-    val renamedDocs = Seq(("renamed/rn-1", t("rn")), ("rn-2", t("rn")),
-      ("renamed/rq-1", t("rq"))).toDF("url", "text")
-    val sigsRef = pipe.signatureStage(pipe.extractStage(renamedDocs, fromHtml = false))
-      .toDF().cache()
-    val bandsRef = pipe.bandStage(sigsRef.where(col("hashable")))
-
-    def sigKey(df: org.apache.spark.sql.DataFrame) =
-      df.select("url", "doc_id", "exact_hash", "simhash").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
-    assert(sigKey(sigs2) == sigKey(sigsRef), "renamed signature table must equal a fresh run")
-    def bandKey(df: org.apache.spark.sql.DataFrame) =
-      df.select("doc_id", "band_id", "band_hash").collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
-    assert(bandKey(bands2) == bandKey(bandsRef), "renamed band table must equal a fresh run")
+    // (A) non-rep takes over: new id BELOW the current rep's
+    check(Map(nonRepUrl -> pickName(_ < ids(repUrl)), "rq-1" -> "renamed/rq-q"),
+      "takeover")
+    // (B) rep hands off: rep renamed to an id ABOVE the other member's
+    check(Map(repUrl -> pickName(_ > ids(nonRepUrl))), "handoff")
+    // (C) no rep change: rename that keeps the ordering
+    check(Map(repUrl -> pickName(_ < ids(nonRepUrl))), "no-change")
 
     // renaming onto an existing url is a merge, not a rename → rejected
     intercept[IllegalArgumentException] {
