@@ -20,12 +20,22 @@ object ExportImport {
 
   private val MetaFile = "_graft_meta.json"
 
+  // snapshot paths are Hadoop URIs (HDFS/S3/local alike) — java.nio would
+  // crash on a non-local scheme after the parquet was already written, and
+  // its failure on import silently SKIPPED the config-hash guard
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def exportSnapshot(spark: SparkSession, df: DataFrame, path: String,
       cfg: GraftConfig = GraftConfig.default): Unit = {
     df.write.mode("overwrite").parquet(path)
     val rows = spark.read.parquet(path).count()
     val meta = s"""{"config_hash":"${cfg.configHash}","rows":$rows,"format":"parquet"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, MetaFile), meta)
+    val out = hadoopFs(spark, path).create(
+      new org.apache.hadoop.fs.Path(path, MetaFile), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   final case class ImportResult(added: Long, skippedExisting: Long)
@@ -37,14 +47,24 @@ object ExportImport {
   def importSnapshot(spark: SparkSession, existing: DataFrame, incomingPath: String,
       keyCol: String = "url",
       cfg: GraftConfig = GraftConfig.default): (DataFrame, ImportResult) = {
-    val metaPath = java.nio.file.Paths.get(incomingPath, MetaFile)
-    if (java.nio.file.Files.exists(metaPath)) {
-      val meta = java.nio.file.Files.readString(metaPath)
-      val hash = "\"config_hash\":\"([0-9a-f]+)\"".r
-        .findFirstMatchIn(meta).map(_.group(1))
-      require(hash.forall(_ == cfg.configHash),
-        s"config hash mismatch: export=${hash.getOrElse("?")} local=${cfg.configHash}")
+    val fs = hadoopFs(spark, incomingPath)
+    val metaPath = new org.apache.hadoop.fs.Path(incomingPath, MetaFile)
+    // the guard is MANDATORY: a missing or unreadable meta file means the
+    // snapshot's provenance is unknown — merging signatures built under a
+    // different GraftConfig would silently mix incomparable values
+    require(fs.exists(metaPath),
+      s"snapshot at $incomingPath has no $MetaFile — not a graft export, or the export crashed")
+    val meta = {
+      val in = fs.open(metaPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     }
+    val hash = "\"config_hash\":\"([0-9a-f]+)\"".r
+      .findFirstMatchIn(meta).map(_.group(1))
+    // a regex MISS (corrupt meta) must fail, not pass vacuously
+    require(hash.nonEmpty, s"corrupt $MetaFile in snapshot at $incomingPath: $meta")
+    require(hash.get == cfg.configHash,
+      s"config hash mismatch: export=${hash.get} local=${cfg.configHash}")
     val incoming = spark.read.parquet(incomingPath)
     val newRows = incoming.join(existing.select(keyCol), Seq(keyCol), "left_anti")
     val added = newRows.count()

@@ -18,10 +18,10 @@ object QueryMatch {
       simhash: Long, exactHash: Long, nTokens: Int)
 
   def signQuery(text: String, cfg: GraftConfig = GraftConfig.default): QuerySig = {
-    val mh = new MinHasher(cfg)
-    val kg = new KGramShingler(cfg, cfg.shinglerWeights.getOrElse("KGramShingler", 3))
-    val d = DocSig.compute(cfg, mh, kg)("query", text)
-    val bands = if (d.hashable) new Bands(cfg).bandHashes(mh.unpack(d.sig)) else Array.empty[Long]
+    val d = new DocSig.Kernel(cfg).compute("query", text)
+    val bands =
+      if (d.hashable) new Bands(cfg).bandHashes(new MinHasher(cfg).unpack(d.sig))
+      else Array.empty[Long]
     QuerySig(d.sig, bands, d.simhash, d.exact_hash, d.n_tokens)
   }
 
@@ -38,7 +38,13 @@ object QueryMatch {
     val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false))
       .toDF().where(col("hashable")).cache()
     val bands = pipe.bandStage(sigs)
-    topMatchesFromIndex(spark, sigs, bands, queryText, k, cfg, requireBands)
+    // top-k is tiny: eagerly materialize it so the ad-hoc signature cache
+    // can be dropped immediately instead of leaking one pinned sig table
+    // per call for the session lifetime
+    val out = topMatchesFromIndex(spark, sigs, bands, queryText, k, cfg, requireBands)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** Bump when an index SEMANTICS change (not a kernel-output change — the
@@ -92,7 +98,17 @@ object QueryMatch {
       requireBands: Int = 2,
       scope: Option[DataFrame] = None): DataFrame = {
     val q = signQuery(queryText, cfg)
-    if (q.bandHashes.isEmpty) return spark.emptyDataFrame
+    // a non-hashable query matches nothing, but the result CONTRACT
+    // (url, doc_id, score, n_bands, exact_match) must hold — a schema-less
+    // emptyDataFrame would crash callers selecting result columns only on
+    // short queries (a data-dependent failure)
+    if (q.bandHashes.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("url", StringType), StructField("doc_id", LongType),
+          StructField("score", DoubleType), StructField("n_bands", LongType),
+          StructField("exact_match", BooleanType))))
+    }
 
     // band_id must match positionally: band i of the corpus vs band i of the query
     val queryBands = q.bandHashes.zipWithIndex

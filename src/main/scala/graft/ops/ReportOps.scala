@@ -172,39 +172,96 @@ object ReportOps {
     val sorted = ids.sorted
     val n = sorted.size
     if (n <= 1) return sorted
-    val members = scala.collection.mutable.Map.empty[Int, Vector[Long]]
-    val sizes = scala.collection.mutable.Map.empty[Int, Int]
-    val d = scala.collection.mutable.Map.empty[(Int, Int), Double]
-    def key(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
-    for (i <- 0 until n) { members(i) = Vector(sorted(i)); sizes(i) = 1 }
-    for (i <- 0 until n; j <- (i + 1) until n) {
-      val d0 = dist(sorted(i), sorted(j))
-      d(key(i, j)) = if (method == "ward") d0 * d0 else d0
+    // flat n×n double matrix with SLOT REUSE (merged cluster takes the
+    // lower slot): the earlier Map[(Int,Int),Double] form allocated a boxed
+    // tuple per lookup and scanned all pairs per merge — O(n³) HashMap
+    // probes, minutes at the documented "n ≤ thousands" contract. 8·n²
+    // bytes of driver heap (72 MB at n = 3000).
+    val d = new Array[Double](n * n)
+    var i0 = 0
+    while (i0 < n) {
+      var j0 = i0 + 1
+      while (j0 < n) {
+        val raw = dist(sorted(i0), sorted(j0))
+        val v = if (method == "ward") raw * raw else raw
+        d(i0 * n + j0) = v
+        d(j0 * n + i0) = v
+        j0 += 1
+      }
+      i0 += 1
     }
-    val active = scala.collection.mutable.SortedSet.empty[Int] ++ (0 until n)
-    var nextId = n
-    while (active.size > 1) {
+    val activeArr = Array.fill(n)(true)
+    val sizes = Array.fill(n)(1)
+    val members = Array.tabulate(n)(i => Vector(sorted(i)))
+    // per-slot nearest-neighbor cache: finding the global closest pair is
+    // O(n) per merge instead of O(n²). Valid for complete AND Ward — both
+    // are REDUCIBLE linkages (the cluster merged from a mutually-nearest
+    // pair never moves CLOSER to any third cluster), so a slot's cached
+    // nearest only needs recomputation when it pointed at one of the two
+    // merged slots. Ties break toward the smallest slot index (ascending
+    // scan + strict <), keeping the traversal deterministic.
+    val nearest = new Array[Int](n)
+    def recomputeNearest(i: Int): Unit = {
+      var best = -1
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < n) {
+        if (j != i && activeArr(j) && d(i * n + j) < bd) { bd = d(i * n + j); best = j }
+        j += 1
+      }
+      nearest(i) = best
+    }
+    var i1 = 0
+    while (i1 < n) { recomputeNearest(i1); i1 += 1 }
+    var remaining = n
+    while (remaining > 1) {
+      // global closest pair via the nearest cache; smallest-(lo, hi)
+      // slot-pair tie-break keeps the order deterministic
       var bi = -1; var bj = -1
-      var bestD = Double.MaxValue
-      for (i <- active; j <- active if i < j) {
-        val dd = d(key(i, j))
-        if (dd < bestD) { bestD = dd; bi = i; bj = j }
-      }
-      for (k <- active if k != bi && k != bj) {
-        val dk = method match {
-          case "ward" =>
-            val (ni, nj, nk) = (sizes(bi), sizes(bj), sizes(k))
-            ((ni + nk) * d(key(bi, k)) + (nj + nk) * d(key(bj, k)) -
-              nk * d(key(bi, bj))) / (ni + nj + nk)
-          case _ => math.max(d(key(bi, k)), d(key(bj, k)))
+      var bd = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        if (activeArr(i)) {
+          val j = nearest(i)
+          val dd = d(i * n + j)
+          val lo = math.min(i, j); val hi = math.max(i, j)
+          if (dd < bd || (dd == bd && (lo < bi || (lo == bi && hi < bj)))) {
+            bd = dd; bi = lo; bj = hi
+          }
         }
-        d(key(nextId, k)) = dk
+        i += 1
       }
-      members(nextId) = members(bi) ++ members(bj)
-      sizes(nextId) = sizes(bi) + sizes(bj)
-      active -= bi; active -= bj; active += nextId
-      nextId += 1
+      // Lance-Williams update into slot bi
+      var k = 0
+      while (k < n) {
+        if (k != bi && k != bj && activeArr(k)) {
+          val dk =
+            if (method == "ward") {
+              val ni = sizes(bi); val nj = sizes(bj); val nk = sizes(k)
+              ((ni + nk) * d(bi * n + k) + (nj + nk) * d(bj * n + k) -
+                nk * d(bi * n + bj)) / (ni + nj + nk).toDouble
+            } else math.max(d(bi * n + k), d(bj * n + k))
+          d(bi * n + k) = dk
+          d(k * n + bi) = dk
+        }
+        k += 1
+      }
+      members(bi) = members(bi) ++ members(bj)
+      sizes(bi) += sizes(bj)
+      activeArr(bj) = false
+      remaining -= 1
+      if (remaining > 1) {
+        recomputeNearest(bi)
+        var k2 = 0
+        while (k2 < n) {
+          if (activeArr(k2) && k2 != bi && (nearest(k2) == bi || nearest(k2) == bj))
+            recomputeNearest(k2)
+          k2 += 1
+        }
+      }
     }
-    members(active.head)
+    var winner = 0
+    while (!activeArr(winner)) winner += 1
+    members(winner)
   }
 }

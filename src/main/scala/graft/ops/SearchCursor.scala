@@ -66,6 +66,11 @@ object SearchCursor {
     case _ => v
   }
 
+  /** NULL boundary values carry their own type tag ("n"): stringifying
+    * them would produce the literal "null", which either crashes typed()
+    * (numeric fields) or silently compares against the string 'null'. */
+  private val NullTag = "n"
+
   private def typeTag(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => "l"
     case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => "d"
@@ -79,15 +84,29 @@ object SearchCursor {
     * other way); rows are re-reversed after the fetch by `page`.
     */
   def predicate(c: Cursor): Column = {
+    // Spark sort ordering: ascending → NULLS FIRST, descending → NULLS
+    // LAST. The keyset predicate must walk the SAME total order, so null
+    // boundaries and the null tail get explicit branches:
+    //  - eq prefix on a null boundary: col IS NULL (=== null is never true)
+    //  - "after null" in effective-asc (nulls first): every non-null row
+    //  - "after null" in effective-desc (nulls last): nothing
+    //  - "after v" in effective-desc: col < v OR col IS NULL (the null
+    //    tail sorts after every value)
     val branches = c.fields.indices.map { i =>
       val eqs = (0 until i).map { j =>
-        col(c.fields(j).name) === lit(typed(c.types(j), c.values(j)))
+        if (c.types(j) == NullTag) col(c.fields(j).name).isNull
+        else col(c.fields(j).name) === lit(typed(c.types(j), c.values(j)))
       }
       val f = c.fields(i)
-      val v = lit(typed(c.types(i), c.values(i)))
+      val effAsc = f.ascending == c.forward
       val cmp =
-        if (f.ascending == c.forward) col(f.name) > v
-        else col(f.name) < v
+        if (c.types(i) == NullTag) {
+          if (effAsc) col(f.name).isNotNull else lit(false)
+        } else {
+          val v = lit(typed(c.types(i), c.values(i)))
+          if (effAsc) col(f.name) > v
+          else col(f.name) < v || col(f.name).isNull
+        }
       (eqs :+ cmp).reduce(_ && _)
     }
     branches.reduce(_ || _)
@@ -118,10 +137,17 @@ object SearchCursor {
     val rows = if (forward) pageRowsEff else pageRowsEff.reverse
 
     val schema = df.schema
-    val types = fields.map(f => typeTag(schema(f.name).dataType))
-    def cursorFrom(row: Row, fwd: Boolean): String =
-      encode(Cursor(fields, types,
-        fields.map(f => String.valueOf(row.getAs[Any](f.name))), forward = fwd))
+    def cursorFrom(row: Row, fwd: Boolean): String = {
+      // per-row tags: a null boundary value gets the "n" tag (its real type
+      // tag would stringify to the ambiguous literal "null")
+      val tagsAndValues = fields.map { f =>
+        row.getAs[Any](f.name) match {
+          case null => (NullTag, "")
+          case v => (typeTag(schema(f.name).dataType), String.valueOf(v))
+        }
+      }
+      encode(Cursor(fields, tagsAndValues.map(_._1), tagsAndValues.map(_._2), forward = fwd))
+    }
 
     if (rows.isEmpty) (rows, None, None)
     else {

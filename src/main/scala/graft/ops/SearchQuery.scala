@@ -31,12 +31,17 @@ object SearchQuery {
     def eof: Boolean = { ws(); i >= s.length }
     def peek: Char = s.charAt(i)
     /** keyword lookahead with a word-boundary check — `orange` is a bare
-      * term, not the OR operator followed by `ange`. */
+      * term, not the OR operator followed by `ange`; likewise `OR_bar` /
+      * `AND2` (identifier chars continue the word, matching pyparsing's
+      * Keyword semantics in the reference parser). */
     def peekKeyword(tok: String): Boolean = {
       ws()
       if (!s.regionMatches(true, i, tok, 0, tok.length)) return false
       val end = i + tok.length
-      end >= s.length || !s.charAt(end).isLetter || !tok.head.isLetter
+      end >= s.length || {
+        val c = s.charAt(end)
+        !(c.isLetterOrDigit || c == '_')
+      } || !tok.head.isLetter
     }
     def tryConsume(tok: String): Boolean = {
       if (peekKeyword(tok)) { i += tok.length; true } else false
@@ -75,7 +80,7 @@ object SearchQuery {
         if (eof || peek != ')') throw new ParseException("missing )")
         i += 1
         n
-      } else if (peek == '"') {
+      } else if (peek == '"' || peek == '\'') {
         Term(quoted())
       } else {
         val tok = bare()
@@ -83,8 +88,10 @@ object SearchQuery {
         if (colon > 0) {
           val field = tok.substring(0, colon)
           var rest = tok.substring(colon + 1)
-          if (rest.isEmpty && !eof && peek == '"') rest = quoted()
-          val (op, v) =
+          // quoted value directly after the colon: field:"multi word"
+          // (bare() stops at the quote, so rest is empty here)
+          if (rest.isEmpty && !eof && (peek == '"' || peek == '\'')) rest = quoted()
+          var (op, v) =
             if (rest.startsWith("<=")) ("<=", rest.drop(2))
             else if (rest.startsWith(">=")) (">=", rest.drop(2))
             else if (rest.startsWith("!?")) ("!?", rest.drop(2))
@@ -94,15 +101,23 @@ object SearchQuery {
             else if (rest.startsWith("?")) ("?", rest.drop(1))
             else if (rest.startsWith("=")) ("=", rest.drop(1))
             else ("=", rest)
+          // quoted value directly after an operator: field:>"a b"
+          if (v.isEmpty && op != "=" && !eof && (peek == '"' || peek == '\'')) v = quoted()
           Cond(field, op, v)
         } else Term(tok)
       }
     }
 
+    /** Double- OR single-quoted, with backslash escapes — matching the
+      * reference's QuotedString('"'|"'", esc_char="\\"). */
     private def quoted(): String = {
+      val q = s.charAt(i)
       i += 1 // opening quote
       val sb = new StringBuilder
-      while (i < s.length && s.charAt(i) != '"') { sb += s.charAt(i); i += 1 }
+      while (i < s.length && s.charAt(i) != q) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 2 }
+        else { sb += s.charAt(i); i += 1 }
+      }
       if (i >= s.length) throw new ParseException("unterminated quote")
       i += 1
       sb.toString
@@ -111,7 +126,9 @@ object SearchQuery {
     private def bare(): String = {
       ws()
       val sb = new StringBuilder
-      while (i < s.length && !s.charAt(i).isWhitespace && s.charAt(i) != '(' && s.charAt(i) != ')') {
+      // stop at quotes too: field:"v" must leave the quote for quoted()
+      while (i < s.length && !s.charAt(i).isWhitespace && s.charAt(i) != '(' &&
+          s.charAt(i) != ')' && s.charAt(i) != '"' && s.charAt(i) != '\'') {
         sb += s.charAt(i); i += 1
       }
       if (sb.isEmpty) throw new ParseException(s"unexpected char at $i")

@@ -87,7 +87,11 @@ object LangId {
       for ((g, c) <- tg) s += c.toLong * prof.getOrElse(g, 0)
       (lang, s)
     }
-    // deterministic tie-break by language code
-    scored.sortBy { case (l, s) => (-s, l) }.head._1
+    // deterministic tie-break by language code; a zero best score means NO
+    // profile matched anything (non-Latin scripts, symbol-only text — the
+    // [^a-z ] strip can leave pseudo-grams that defeat the isEmpty guard)
+    // → undetermined, not alphabetically-first
+    val best = scored.sortBy { case (l, s) => (-s, l) }.head
+    if (best._2 == 0L) "und" else best._1
   }
 }

@@ -152,7 +152,7 @@ object SubstringStage {
       .join(hashed.withColumnRenamed("doc_id", "a").withColumnRenamed("hashes", "h_a"), "a")
       .join(hashed.withColumnRenamed("doc_id", "b").withColumnRenamed("hashes", "h_b"), "b")
     val mr = minRun
-    joined.select(col("a"), col("b"), col("h_a"), col("h_b"))
+    val out = joined.select(col("a"), col("b"), col("h_a"), col("h_b"))
       .as[(Long, Long, Array[Int], Array[Int])]
       .map { case (a, b, ha, hb) =>
         val (len, pa, pb) = SuffixArray.longestCommonRun(ha, hb)
@@ -160,5 +160,10 @@ object SubstringStage {
       }
       .toDF("doc_id_a", "doc_id_b", "run_tokens", "offset_a", "offset_b")
       .where(col("run_tokens") >= mr)
+      // eager cut-over: the verified-run output is tiny, and dropping the
+      // token-hash cache NOW avoids leaking one pinned array table per call
+      .localCheckpoint(true)
+    hashed.unpersist()
+    out
   }
 }

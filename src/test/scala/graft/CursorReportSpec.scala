@@ -39,6 +39,38 @@ class SearchCursorSpec extends SparkTestBase {
     assert(backNext.isDefined)
   }
 
+  test("null sort values page correctly in both directions") {
+    // nulls sort FIRST in asc and LAST in desc (Spark default); the cursor
+    // must encode a null boundary (not the string "null") and the keyset
+    // predicate must cover the null region on both sides
+    val withNulls = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, null, "a"), (2L, null, "b"), (3L, 10.0, "c"), (4L, 20.0, "d"),
+      (5L, 30.0, "e")).toDF("id", "price", "tag")
+    def walk(flds: Seq[SortField]): Seq[Long] = {
+      var cursor: Option[String] = None
+      var out = Seq.empty[Long]
+      var continue = true
+      while (continue) {
+        val (rows, next, _) = SearchCursor.page(withNulls, flds, cursor, limit = 2)
+        out ++= rows.map(_.getLong(0))
+        cursor = next
+        continue = next.isDefined
+      }
+      out
+    }
+    val asc = Seq(SortField("price", ascending = true), SortField("id", ascending = true))
+    assert(walk(asc) == Seq(1L, 2L, 3L, 4L, 5L), "asc: nulls first, every row once")
+    val desc = Seq(SortField("price", ascending = false), SortField("id", ascending = true))
+    assert(walk(desc) == Seq(5L, 4L, 3L, 1L, 2L), "desc: null tail reached, every row once")
+    // backward from a cursor INSIDE the null region restores the prior page
+    val (p1, next1, _) = SearchCursor.page(withNulls, asc, None, limit = 2)
+    assert(p1.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val (p2, _, prev2) = SearchCursor.page(withNulls, asc, next1, limit = 2)
+    assert(p2.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    val (back, _, _) = SearchCursor.page(withNulls, asc, prev2, limit = 2)
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("keyset predicate is the OR-of-ANDs tree with per-field direction") {
     val c = Cursor(fields, Seq("d", "l"), Seq("20.0", "3"), forward = true)
     val got = df.where(SearchCursor.predicate(c))

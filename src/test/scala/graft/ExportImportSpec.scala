@@ -21,6 +21,14 @@ class ExportImportSpec extends SparkTestBase {
       ExportImport.importSnapshot(spark, a, s"$tmp/snap", cfg = otherCfg)
     }
     assert(ex.getMessage.contains("config hash mismatch"))
+
+    // a parquet dir that is NOT a graft export (no meta) refuses — an
+    // absent meta must not silently skip the provenance guard
+    b.write.parquet(s"$tmp/naked")
+    val ex2 = intercept[IllegalArgumentException] {
+      ExportImport.importSnapshot(spark, a, s"$tmp/naked")
+    }
+    assert(ex2.getMessage.contains("no _graft_meta.json"))
   }
 
   test("compactIds: dense 0..n-1, deterministic by order column") {

@@ -49,6 +49,26 @@ class SearchQuerySpec extends SparkTestBase {
     assert(parse("order android nothing") ==
       And(List(Term("order"), Term("android"), Term("nothing"))))
     assert(parse("a:1 OR orbit") == Or(List(Cond("a", "=", "1"), Term("orbit"))))
+    // digits/underscore continue the word too (pyparsing Keyword semantics):
+    // OR_bar and AND2 are terms, not operators
+    assert(parse("foo OR_bar") == And(List(Term("foo"), Term("OR_bar"))))
+    assert(parse("foo AND2 baz") == And(List(Term("foo"), Term("AND2"), Term("baz"))))
+  }
+
+  test("quoted values after colon/operator, both quote styles, escapes") {
+    // field:"multi word" with NO space after the colon (reference:
+    // condition_equal = identifier + (":" + search_term).leave_whitespace())
+    assert(parse("name:\"foo bar\"") == Cond("name", "=", "foo bar"))
+    assert(parse("name:'foo bar'") == Cond("name", "=", "foo bar"))
+    // quoted value after a comparison operator
+    assert(parse("f:>\"abc def\"") == Cond("f", ">", "abc def"))
+    // backslash escapes inside quotes
+    assert(parse("name:\"say \\\"hi\\\"\"") == Cond("name", "=", "say \"hi\""))
+    // quoted bare term with single quotes
+    assert(parse("'hello world'") == Term("hello world"))
+    // adjacent terms still split correctly around the quoted value
+    assert(parse("a:\"x y\" b:2") ==
+      And(List(Cond("a", "=", "x y"), Cond("b", "=", "2"))))
   }
 
   test("conditional-field expansion and id/hex fast-paths") {
@@ -106,6 +126,11 @@ class TextOpsSpec extends SparkTestBase {
     assert(LangId.detect("le renard brun rapide saute par dessus le chien paresseux") == "fr")
     assert(LangId.detect("") == "und")
     assert(LangId.detect(null) == "und")
+    // zero-score inputs (non-Latin scripts, digits, symbols) are
+    // UNDETERMINED, not the alphabetically-first profile
+    assert(LangId.detect("你好世界 这是一个测试文档") == "und")
+    assert(LangId.detect("Привет мир это тестовый документ") == "und")
+    assert(LangId.detect("12345 67890 --- !!!") == "und")
   }
 }
 

@@ -30,9 +30,14 @@ class QueryMatchSpec extends SparkTestBase {
     assert(!out.map(_.getString(0)).contains("u3"))
   }
 
-  test("unhashable query returns empty") {
+  test("unhashable query returns empty WITH the result schema") {
     val docs = corpusRows.toDF("url", "text")
-    assert(QueryMatch.topMatches(spark, docs, "too short", k = 5).isEmpty)
+    val out = QueryMatch.topMatches(spark, docs, "too short", k = 5)
+    assert(out.isEmpty)
+    // the result contract must hold even for the empty case — a schema-less
+    // frame would crash callers only on short queries (data-dependent)
+    assert(out.columns.toSeq == Seq("url", "doc_id", "score", "n_bands", "exact_match"))
+    assert(out.select("url", "score").count() == 0) // selectable
   }
 
   test("index probe: persisted sig/band tables answer queries without re-signing") {
