@@ -169,7 +169,12 @@ object SimHash {
         key = key * 0x100000001b3L + chunks(c) + 1L // FNV-ish fold, order-sensitive
         i += 1
       }
-      combos += key
+      // avalanche the fold: the raw FNV key's LOW 32 bits are structured
+      // ((c0+1)·435 + c1 + …, since the FNV prime is 2^40 + 435), so any
+      // downstream 32-bit truncation would alias ~150 distinct chunk pairs
+      // per key and break the Hamming guarantee via stop-band drops at
+      // scale; mix64 spreads the fold over all 64 bits
+      combos += mix64(key)
       // next combination (lexicographic)
       var p = keep - 1
       while (p >= 0 && idx(p) == blocks - keep + p) p -= 1

@@ -61,12 +61,17 @@ object DedupOps {
       .cache()
     val idMap = sigs0.select("doc_id", "orig_id")
     val pairsRaw = pipe.dupPairsFromSigs(sigs0.drop("orig_id"))
-    pairsRaw
+    val out = pairsRaw
       .join(idMap.withColumnRenamed("doc_id", "src").withColumnRenamed("orig_id", "ida"), "src")
       .join(idMap.withColumnRenamed("doc_id", "dst").withColumnRenamed("orig_id", "idb"), "dst")
       .select(least(col("ida"), col("idb")).as("doc_id_a"),
         greatest(col("ida"), col("idb")).as("doc_id_b"), col("score"))
       .distinct()
+      // eager cut-over: pairs are small; dropping the signature cache NOW
+      // avoids pinning one full sig table per call for the session lifetime
+      .localCheckpoint(true)
+    sigs0.unpersist()
+    out
   }
 
   /** 64-bit SimHash per doc (k-gram shingles, Charikar bit-voting). */
@@ -224,7 +229,10 @@ object DedupOps {
       .agg((sum(col("df") * col("df")) / sum(col("df"))).as("e_df"),
         avg("df").as("mean_df"))
       .collect()(0)
-    (stat.getDouble(0), stat.getDouble(1))
+    // zero postings (empty/degenerate corpus): sums aggregate to null —
+    // report E[df] = 0 so the auto dispatch picks the plain path (both
+    // generators return an empty pair set on empty input)
+    if (stat.isNullAt(0)) (0.0, 0.0) else (stat.getDouble(0), stat.getDouble(1))
   }
 
   /** One shingle-set row per doc: (doc_id, shingles: distinct hashed

@@ -57,7 +57,8 @@ object MaintenanceOps {
       fromHtml: Boolean = false)
       : (DataFrame, DataFrame) = {
     val params = s"kernel=${graft.pipeline.DocSig.kernelFingerprint(cfg)}," +
-      s"corpus=$corpusTag,sh=${opts.simHashChannel}"
+      s"corpus=$corpusTag,sh=${opts.simHashChannel}," +
+      s"shmax=${opts.simHashMaxHamming},bandsv=2" // bandsv: band-key semantics
     val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
     val sigDesc = ledger.descriptor("dedup_sigs", params, Nil)
     val sigs = ledger.stage("dedup_sigs", sigDesc) {
@@ -176,11 +177,31 @@ object MaintenanceOps {
     * and band tables (with Iceberg this is `DELETE FROM ... WHERE`; on
     * parquet stand-ins it is a filtering rewrite).
     */
-  def deleteDocs(signatures: DataFrame, bands: DataFrame, docIds: Seq[Long])
-      : (DataFrame, DataFrame) = {
+  def deleteDocs(signatures: DataFrame, bands: DataFrame, docIds: Seq[Long],
+      cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions(),
+      repOnlyBands: Boolean = true): (DataFrame, DataFrame) = {
+    val spark = signatures.sparkSession
     val condemned = docIds.toSet
-    (signatures.where(!col("doc_id").isInCollection(condemned)),
-      bands.where(!col("doc_id").isInCollection(condemned)))
+    val sigs2 = signatures.where(!col("doc_id").isInCollection(condemned))
+    val bands2 = bands.where(!col("doc_id").isInCollection(condemned))
+    if (!repOnlyBands) return (sigs2, bands2)
+    // REP RE-ELECTION (same invariant as renameDocs): deleting an exact
+    // group's banded representative must hand its postings to the new
+    // min-id survivor, or the survivors silently stop matching probes.
+    val affected = signatures.where(col("has_exact") &&
+        col("doc_id").isInCollection(condemned))
+      .select("exact_hash", "exact_hash2").distinct()
+    val newReps = sigs2.where(col("has_exact"))
+      .join(broadcast(affected), Seq("exact_hash", "exact_hash2"))
+      .groupBy("exact_hash", "exact_hash2").agg(min("doc_id").as("new_rep"))
+    // survivors' new reps that were NOT already banded (i.e. the deleted
+    // doc was the rep): exactly those absent from the filtered band table
+    val addSigs = sigs2
+      .join(broadcast(newReps.select(col("new_rep").as("doc_id"))), Seq("doc_id"), "left_semi")
+      .join(bands2.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
+    (sigs2, bands2.unionByName(pipe.repBandTable(addSigs)))
   }
 
   /** L6 analog — full band-index rebuild from the signature checkpoint
@@ -193,9 +214,13 @@ object MaintenanceOps {
     */
   def rebuildBandIndex(spark: SparkSession, signatures: DataFrame,
       cfg: graft.kernel.GraftConfig = graft.kernel.GraftConfig.default,
+      opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions(),
       numPartitions: Int = 0): DataFrame = {
-    val pipe = new graft.pipeline.DedupPipeline(spark, cfg)
-    val bands = pipe.bandStage(signatures.where(col("hashable")))
+    val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
+    // THE probe flavor (rep-only + simhash chunk tables when on): feeding a
+    // minhash-only all-docs table to probeDupPairs would silently miss the
+    // simhash channel and inflate group sizes past the stop-band cap
+    val bands = pipe.repBandTable(signatures)
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     bands.repartition(n, col("band_id"), col("band_hash"))

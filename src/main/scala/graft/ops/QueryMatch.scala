@@ -51,7 +51,7 @@ object QueryMatch {
     * kernel fingerprint below catches those automatically) invalidates
     * persisted indexes.
     */
-  val IndexVersion = 3
+  val IndexVersion = 4 // v4: 64-bit band hashes + xxhash64 packed band keys
 
   /** Build — or resume from the checkpoint ledger — the persisted
     * signature/band index for a corpus, returning both tables read back from

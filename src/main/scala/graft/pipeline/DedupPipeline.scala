@@ -172,9 +172,17 @@ object DocSig {
     }
   }
 
-  /** Shared by the batch pipeline and the streaming incremental indexer. */
-  def compute(c: GraftConfig, hasher: MinHasher, kgram: KGramShingler)(
-      url: String, text: String): DocSig = new Kernel(c).compute(url, text)
+  /** Deterministic total order on same-url rows for the S1 key-dedup
+    * (compare content fields; the winner is the lexicographically largest —
+    * any fixed rule works, it just must not depend on partitioning).
+    */
+  def rowOrder(a: DocSig, b: DocSig): Int = {
+    if (a.exact_hash != b.exact_hash) return java.lang.Long.compare(a.exact_hash, b.exact_hash)
+    if (a.exact_hash2 != b.exact_hash2) return java.lang.Long.compare(a.exact_hash2, b.exact_hash2)
+    if (a.simhash != b.simhash) return java.lang.Long.compare(a.simhash, b.simhash)
+    if (a.n_tokens != b.n_tokens) return Integer.compare(a.n_tokens, b.n_tokens)
+    java.util.Arrays.compareUnsigned(a.sig, b.sig)
+  }
 
   /** Deterministic fingerprint of the kernel's OUTPUT behavior under `c`:
     * one fixed probe document signed with the live kernel, hashed. Any
@@ -219,15 +227,23 @@ final class DedupPipeline(
   }
 
   /** One typed pass per doc: tokenize, shingle, sign (MinHash + SimHash),
-    * exact hash. ≅ Worker.calculateMinHashes (/root/reference/mcrit/Worker.py:550-589),
-    * with Spark partition parallelism replacing the multiprocessing pool.
+    * exact hash, then S1 key-dedup — re-crawled duplicate urls COLLAPSE to
+    * one deterministic row (max over the full row struct; ≅ the reference
+    * inserting by sha256 key, MemoryStorage.py:369). Without the collapse a
+    * duplicate url ships its doc_id twice into every band group, emitting
+    * (x, x) self-pairs and duplicate output rows — `resolveIdCollisions`
+    * deliberately skips same-url ids on the premise this stage removed
+    * them. One narrow-row shuffle (~100 B/doc), only paid by the batch
+    * path (the streaming path dedups in state).
     */
   def signatureStage(docs: DataFrame): Dataset[DocSig] = {
     val bcCfg = spark.sparkContext.broadcast(cfg)
-    docs.select("url", "text").as[(String, String)].mapPartitions { it =>
+    val signed = docs.select("url", "text").as[(String, String)].mapPartitions { it =>
       val k = new DocSig.Kernel(bcCfg.value)
       it.map { case (url, text) => k.compute(url, text) }
     }
+    signed.groupByKey(_.url).reduceGroups((a, b) => if (DocSig.rowOrder(a, b) >= 0) a else b)
+      .map(_._2)
   }
 
   // ---- exact channel (pichash analog) ---------------------------------
@@ -445,7 +461,9 @@ final class DedupPipeline(
     val (reps, exactEdges0) = exactGroups(sigs0)
     val exactEdges = runStage("exact_edges", "", Seq("signatures")) { exactEdges0 }
 
-    val bandTable = runStage("bands", s"bands=${cfg.bands}", Seq("signatures")) {
+    val bandTable = runStage("bands",
+        s"bands=${cfg.bands},sh=${opts.simHashChannel},shmax=${opts.simHashMaxHamming},bandsv=2",
+        Seq("signatures")) {
       val all = repBandTable(sigs0, Some(reps))
       // co-locate by band key only when the table is being persisted for
       // probes/resume (the Iceberg layout analog: partition by band_id,
@@ -462,7 +480,10 @@ final class DedupPipeline(
 
     val verified0 = verifyStage(candidates, sigs)
     val verified = runStage("verified",
-        s"thr=${cfg.matchingThreshold},jac=${opts.jaccardVerify}", Seq("candidates")) {
+        s"thr=${cfg.matchingThreshold},jac=${opts.jaccardVerify}," +
+          s"jthr=${opts.jaccardThreshold},shfloor=${opts.simHashScoreFloor}," +
+          s"shmax=${opts.simHashMaxHamming}",
+        Seq("candidates")) {
       if (opts.jaccardVerify) jaccardStage(verified0, docs, sigs)
       else verified0.withColumn("jaccard", lit(null).cast("double"))
     }
@@ -486,7 +507,11 @@ final class DedupPipeline(
   def dupPairs(input: DataFrame, fromHtml: Boolean = true): DataFrame = {
     val docs = extractStage(input, fromHtml)
     val sigs0 = signatureStage(docs).toDF().cache()
-    dupPairsFromSigs(sigs0)
+    // eager cut-over: verified pairs are cap-bounded and small; release the
+    // signature cache instead of pinning one per call
+    val out = dupPairsFromSigs(sigs0).localCheckpoint(true)
+    sigs0.unpersist()
+    out
   }
 
   /** PROBE-ONLY incremental pair production — the scale-correct shape for
@@ -608,8 +633,7 @@ final class DedupPipeline(
 
     // ---- probe the old band table on the new batch's band keys ----
     def packKey(df: DataFrame): DataFrame = df.select(
-      (shiftleft(col("band_id").cast("long"), 32)
-        .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      DedupPipeline.packedBandKey(col("band_id"), col("band_hash")).as("band_key"),
       col("band_id"), col("band_hash"), col("doc_id"))
     val probeKeys = packKey(newBands).select("band_key").distinct()
     val oldBandTable = oldBands.getOrElse {
@@ -646,6 +670,19 @@ final class DedupPipeline(
 }
 
 object DedupPipeline {
+  /** Single-long shuffle key for a (band_id, band_hash) posting — xxhash64
+    * over both columns, preserving the FULL 64-bit band-hash entropy. The
+    * old `band_id << 32 | low32(band_hash)` packing truncated the hash to
+    * 32 bits: fatal at the 10^12-doc design point (≈250 unrelated postings
+    * per bucket of pure junk) and, for the structured low bits of the
+    * simhash chunk-combo fold, an ~150× aliasing even at bench scale. An
+    * xxhash64 key collision merges two buckets — junk candidates that
+    * exact verification removes — at a ~2^-64 birthday rate.
+    */
+  def packedBandKey(bandId: org.apache.spark.sql.Column,
+      bandHash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.xxhash64(bandId, bandHash)
+
   /** Channel flags bitmask, ≅ MatcherFlags
     * (/root/reference/mcrit/matchers/MatcherFlags.py:4-6). */
   val FlagMinhash = 1
@@ -738,8 +775,7 @@ object DedupPipeline {
       cap: Int, bandMatchesRequired: Int, prefilterHot: Boolean = false): DataFrame = {
     import spark.implicits._
     val keyed = bands
-      .select((shiftleft(col("band_id").cast("long"), 32)
-          .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      .select(DedupPipeline.packedBandKey(col("band_id"), col("band_hash")).as("band_key"),
         col("doc_id"))
       .as[(Long, Long)]
     // two-phase heavy-hitter prefilter: over-cap band keys are detected

@@ -31,18 +31,36 @@ object StreamingIndex {
   }
 
   /** Streaming band postings (band_id, band_hash, doc_id) for hashable docs
-    * — append-mode sink rows for the band table.
+    * — append-mode sink rows for the band table, including the simhash
+    * chunk tables when that channel is on (same disjoint band_id space as
+    * the batch `simhashBandStage`, so the appended rows probe identically).
+    *
+    * Honest caveats vs the batch rep-only table: streamed postings are
+    * PER-DOC — no exact-group rep collapse (that needs cross-batch group
+    * state; route dup-heavy streams through `exactDedupStream` first and
+    * append only first-seen docs), so a burst of byte-identical pages
+    * bands every copy and leans on the stop-band cap where the batch path
+    * would have collapsed them to one representative.
     */
   def bandPostingsStream(spark: SparkSession, docs: DataFrame,
-      cfg: GraftConfig = GraftConfig.default): DataFrame = {
+      cfg: GraftConfig = GraftConfig.default,
+      simHashChannel: Boolean = true, simHashMaxHamming: Int = 2): DataFrame = {
     val bcCfg = spark.sparkContext.broadcast(cfg)
     val bandsUdf = udf((sig: Array[Byte]) => {
       val c = bcCfg.value
       new Bands(c).bandHashes(new MinHasher(c).unpack(sig))
     })
-    signatureStream(spark, docs, cfg).toDF()
-      .where(col("hashable"))
+    val sigs = signatureStream(spark, docs, cfg).toDF().where(col("hashable"))
+    val mh = sigs
       .select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+    if (!simHashChannel) mh
+    else {
+      val blocks = simHashMaxHamming + 2
+      val combosUdf = udf((v: Long) => graft.hash.SimHash.chunkCombos(v, blocks, 2))
+      mh.unionByName(sigs
+        .select(col("doc_id"), posexplode(combosUdf(col("simhash"))).as(Seq("band_id", "band_hash")))
+        .select(col("doc_id"), (col("band_id") + lit(100)).as("band_id"), col("band_hash")))
+    }
   }
 
   /** Event-time tumbling-window aggregation with watermark over a stream of
@@ -112,8 +130,7 @@ object StreamingIndex {
       .where(col("hashable"))
       .select(col("doc_id"), col("sig"),
         posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
-      .select((shiftleft(col("band_id").cast("long"), 32)
-          .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      .select(graft.pipeline.DedupPipeline.packedBandKey(col("band_id"), col("band_hash")).as("band_key"),
         col("doc_id"), col("sig"))
       .as[(Long, Long, Array[Byte])]
     val threshold = cfg.matchingThreshold

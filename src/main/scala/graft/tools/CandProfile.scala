@@ -39,8 +39,7 @@ object CandProfile {
       val b = bands().cache(); println("  postings: " + b.count()); b
     }
     val keyed = bandsCached
-      .select((shiftleft(col("band_id").cast("long"), 32)
-          .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      .select(graft.pipeline.DedupPipeline.packedBandKey(col("band_id"), col("band_hash")).as("band_key"),
         col("doc_id"))
       .as[(Long, Long)]
     timed("detection pass only") {

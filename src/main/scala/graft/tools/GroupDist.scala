@@ -19,8 +19,7 @@ object GroupDist {
       .unionByName(sigs.where(!col("has_exact")))
     val bands = pipe.bandStage(repSigs).unionByName(pipe.simhashBandStage(repSigs))
     val keyed = bands.select(
-      (shiftleft(col("band_id").cast("long"), 32)
-        .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      graft.pipeline.DedupPipeline.packedBandKey(col("band_id"), col("band_hash")).as("band_key"),
       col("doc_id"))
     val groups = keyed.groupBy("band_key").agg(
       count(lit(1)).as("s"), xxhash64(sort_array(collect_list(col("doc_id")))).as("set_key"))

@@ -464,10 +464,13 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.sql("select * from bands_stream").collect()
     q.stop()
 
-    // batch equivalent
+    // batch equivalent: minhash bands + simhash chunk tables (the stream
+    // now appends BOTH channels, matching what the batch probe expects)
     val batch = new graft.pipeline.DedupPipeline(spark)
     val sigs = batch.signatureStage(Seq(("u1", text)).toDF("url", "text")).toDF()
-    val batchBands = batch.bandStage(sigs.where(col("hashable"))).collect()
+    val hashable = sigs.where(col("hashable"))
+    val batchBands = batch.bandStage(hashable)
+      .unionByName(batch.simhashBandStage(hashable)).collect()
     assert(got.length == batchBands.length) // u2 is unhashable → only u1 banded
     assert(got.map(r => (r.getInt(1), r.getLong(2))).toSet ==
       batchBands.map(r => (r.getInt(1), r.getLong(2))).toSet)

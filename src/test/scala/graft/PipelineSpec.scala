@@ -236,11 +236,13 @@ class DedupPipelineSpec extends SparkTestBase {
     val cold = Seq((6, 10L, 1L), (6, 10L, 2L))
     def keyed(parts: Int) = (hot ++ cold).toDF("band_id", "band_hash", "doc_id")
       .repartition(parts)
-      .select((shiftleft(col("band_id").cast("long"), 32)
-        .bitwiseOR(col("band_hash").bitwiseAND(lit(0xffffffffL)))).as("band_key"),
+      .select(DedupPipeline.packedBandKey(col("band_id"), col("band_hash")).as("band_key"),
         col("doc_id"))
       .as[(Long, Long)]
-    val packedHot = (5L << 32) | 99L
+    // expected key via the same packing the pipeline uses
+    val packedHot = Seq((5, 99L)).toDF("band_id", "band_hash")
+      .select(DedupPipeline.packedBandKey(col("band_id"), col("band_hash")))
+      .as[Long].collect()(0)
     val found = DedupPipeline.provablyHotKeys(spark, keyed(1), cap)
       .as[Long].collect().toSet
     assert(found == Set(packedHot), s"detector must flag exactly the mega-hot key: $found")

@@ -232,18 +232,46 @@ class MaintenanceSpec extends SparkTestBase {
     assert(got1 == batch, s"fromIndex $got1 vs batch $batch")
   }
 
-  test("band-index rebuild reproduces the pipeline's band table exactly") {
+  test("band-index rebuild reproduces the PROBE-flavor band table exactly") {
+    // incl. an exact-dup pair: the rebuild must be rep-only + simhash chunk
+    // tables — the flavor probeDupPairs contractually requires
+    val t1 = (1 to 40).map(i => s"ra${('a' + i % 26).toChar}$i").mkString(" ")
     val docs = Seq(
-      ("u1", (1 to 40).map(i => s"ra${('a' + i % 26).toChar}$i").mkString(" ")),
+      ("u1", t1), ("u1-copy", t1),
       ("u2", (1 to 40).map(i => s"rb${('a' + i % 26).toChar}$i").mkString(" ")))
       .toDF("url", "text")
     val pipe = new graft.pipeline.DedupPipeline(spark)
     val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF().cache()
-    val direct = pipe.bandStage(sigs.where(col("hashable"))).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
-    val rebuilt = MaintenanceOps.rebuildBandIndex(spark, sigs).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("doc_id", "band_id", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val direct = key(pipe.repBandTable(sigs))
+    val rebuilt = key(MaintenanceOps.rebuildBandIndex(spark, sigs))
     assert(rebuilt == direct)
+    // rep-only: the exact-dup pair contributes exactly ONE banded doc
+    val dupIds = sigs.where(col("url").startsWith("u1")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rebuilt.map(_._1).toSet.intersect(dupIds).size == 1)
+  }
+
+  test("deleting an exact-group rep re-elects the survivor into the band table") {
+    val t1 = (1 to 40).map(i => s"dd${('a' + i % 26).toChar}$i").mkString(" ")
+    val docs = Seq(("d1", t1), ("d2", t1),
+      ("d3", (1 to 40).map(i => s"zz${('a' + i % 26).toChar}$i").mkString(" ")))
+      .toDF("url", "text")
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF().cache()
+    val bands = pipe.repBandTable(sigs).cache()
+    val ids = sigs.where(col("url").isin("d1", "d2")).select("url", "doc_id")
+      .as[(String, Long)].collect().toMap
+    val rep = math.min(ids("d1"), ids("d2"))
+    val survivor = math.max(ids("d1"), ids("d2"))
+    val (s2, b2) = MaintenanceOps.deleteDocs(sigs, bands, Seq(rep))
+    // ground truth: probe flavor rebuilt from the post-delete signatures
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("doc_id", "band_id", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(key(b2) == key(pipe.repBandTable(s2)),
+      "post-delete band table must equal a fresh probe-flavor build")
+    assert(key(b2).exists(_._1 == survivor), "survivor must be banded after the rep delete")
   }
 
   test("rename cascades consistently through signature and REP-ONLY band tables") {
@@ -334,7 +362,8 @@ class MaintenanceSpec extends SparkTestBase {
     val sigs = Seq((1L, "u1"), (2L, "u2")).toDF("doc_id", "url")
     val bands = Seq((0, 10L, 1L), (0, 10L, 2L), (1, 11L, 1L))
       .toDF("band_id", "band_hash", "doc_id")
-    val (s2, b2) = MaintenanceOps.deleteDocs(sigs, bands, Seq(1L))
+    // toy schema without exact-hash columns → plain filter cascade flavor
+    val (s2, b2) = MaintenanceOps.deleteDocs(sigs, bands, Seq(1L), repOnlyBands = false)
     assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(2L))
     assert(b2.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
