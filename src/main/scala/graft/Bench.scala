@@ -144,13 +144,42 @@ object Bench {
     * failed outright (returned ≤ 0, e.g. the in-process triad under memory
     * pressure) is excluded from the factor rather than driving it to
     * infinity and wedging the backoff loop.
+    *
+    * The kernel probe runs PINNED (forked under `taskset -c 0-7`) — the
+    * same silicon the pinned dedup forks use. An unpinned probe spreads
+    * its threads over all 32 host CPUs and AVERAGES AWAY hypervisor steal
+    * concentrated on the low cores: an r4 recording measured every pinned
+    * fork ~3× slow while unpinned probes read a quiet 1.00 throughout.
     */
   private[graft] def contentionProbe(): (Double, Double, Double) = {
-    val k8 = kernelRun(8, 6000)
+    val k8 = pinnedKernelProbe(8)
     val bw = graft.tools.MemBandwidth.probe(32)
     val fk = if (k8 > 0) QuietKernel8 / k8 else 1.0
     val fb = if (bw > 0) QuietBw32 / bw else 1.0
     (k8, bw, math.max(1.0, math.max(fk, fb)))
+  }
+
+  /** 8-thread kernel docs/s measured in a fork pinned to cores 0-7 (the
+    * cores every pinned dedup level uses); in-process unpinned fallback if
+    * the fork fails.
+    */
+  private[graft] def pinnedKernelProbe(cores: Int): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin,
+      s"-XX:ActiveProcessorCount=$cores", "-Xmx2g",
+      "-cp", cp, "graft.BenchProbePinned", cores.toString)
+    try {
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      proc.waitFor()
+      out.linesIterator.find(_.startsWith("PINNED_KERNEL "))
+        .map(_.split(' ')(1).toDouble)
+        .getOrElse(kernelRun(cores, 6000))
+    } catch {
+      case _: Throwable => kernelRun(cores, 6000)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -314,10 +343,10 @@ object Bench {
     val warm = new graft.pipeline.DocSig.Kernel(graft.kernel.GraftConfig.default)
     for (i <- 0 until 8000) warm.compute(s"w$i", kernelTexts(i % kernelTexts.length))
   }
-  private def warmKernel(): Unit = warmKernelOnce
+  private[graft] def warmKernel(): Unit = warmKernelOnce
 
   /** docs/sec of the per-doc kernel on `n` plain JVM threads (no Spark). */
-  private def kernelRun(n: Int, perThread: Int): Double = {
+  private[graft] def kernelRun(n: Int, perThread: Int): Double = {
     warmKernel()
     val t0 = System.nanoTime()
     val threads = (0 until n).map { t =>
@@ -336,6 +365,17 @@ object Bench {
     */
   private def kernelScaling(): (Double, Double) =
     (kernelRun(8, 20000), kernelRun(32, 20000))
+}
+
+/** Fork target for the gate's pinned kernel probe: measures the 8-thread
+  * kernel inside THIS JVM (launched under taskset by `pinnedKernelProbe`)
+  * and prints one parseable line. */
+object BenchProbePinned {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 8
+    val v = Bench.kernelRun(cores, 6000)
+    println(f"PINNED_KERNEL $v%.0f")
+  }
 }
 
 /** Standalone run of the contention gate's probe — for (re)calibrating the
