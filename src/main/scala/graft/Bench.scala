@@ -137,7 +137,13 @@ object Bench {
   // would mislabel genuinely quiet windows. Raw probe values always ship
   // in the JSON, so consumers can recalibrate against any later
   // quiet-window measurement.
-  private val QuietKernel8 = 50000.0
+  // Re-calibrated for the PINNED fork probe: pinned quiet measurements on
+  // this host read 51-74k docs/s across its fast/slow states (the unpinned
+  // in-process probe the 50k value was set for reads systematically higher
+  // by spreading over idle cores). 55k keeps slow-state-quiet at factor
+  // ~1.1 (labeled, no backoff) while the observed steal case (pinned 33.6k)
+  // reads 1.6 → backoff.
+  private val QuietKernel8 = 55000.0
   private val QuietBw32 = 105.7
 
   /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). A probe that

@@ -41,6 +41,11 @@ import graft.kernel.GraftConfig
   */
 object DedupJob {
 
+  /** Rolling-state layout version — bump when signature/band semantics
+    * change such that OLD delta rows can no longer interoperate with new
+    * probe keys (v2: 64-bit band hashes + xxhash64 packed keys). */
+  val IncStateVersion = 2
+
   final case class Args(input: String = null, output: String = null,
       checkpoint: Option[String] = None, fromHtml: Boolean = true,
       incremental: Option[String] = None,
@@ -124,7 +129,13 @@ object DedupJob {
       java.lang.Long.toHexString(
         graft.hash.SimHash.hash64(s"batch:${a.incremental.get}:$listing"))
     }
-    val commitsPath = new org.apache.hadoop.fs.Path(s"$chk/inc_commits")
+    // versioned state layout: a band-semantics change (64-bit keys, v2)
+    // makes pre-upgrade delta rows unmatchable by new probe keys, so the
+    // rolling state is namespaced by version — old dirs become invisible
+    // orphans instead of silently poisoning the union (their batches
+    // re-ingest correctly if re-sent)
+    val sv = s"v${DedupJob.IncStateVersion}"
+    val commitsPath = new org.apache.hadoop.fs.Path(s"$chk/inc_commits/$sv")
     val committed: Seq[String] =
       if (!fs.exists(commitsPath)) Seq.empty
       else fs.listStatus(commitsPath).map(_.getPath.getName).toSeq.sorted
@@ -135,7 +146,7 @@ object DedupJob {
     // state read = union of COMMITTED per-batch delta dirs only (orphans
     // from a crashed run are invisible)
     def readCommitted(sub: String, like: org.apache.spark.sql.DataFrame) = {
-      val dirs = committed.map(id => s"$chk/$sub/batch=$id").filter(d =>
+      val dirs = committed.map(id => s"$chk/$sub/$sv/batch=$id").filter(d =>
         fs.exists(new org.apache.hadoop.fs.Path(d)))
       if (dirs.isEmpty) like.limit(0) else spark.read.parquet(dirs: _*)
     }
@@ -161,11 +172,11 @@ object DedupJob {
     val pairCount = spark.read.parquet(a.output).count()
     if (!committed.contains(batchId)) {
       parts.newBands.select(bandCols: _*)
-        .write.mode("overwrite").parquet(s"$chk/inc_bands/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$chk/inc_bands/$sv/batch=$batchId")
       parts.replacedReps.select("doc_id")
-        .write.mode("overwrite").parquet(s"$chk/inc_replaced/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$chk/inc_replaced/$sv/batch=$batchId")
       newSigs.select(sigCols: _*)
-        .write.mode("overwrite").parquet(s"$chk/inc_sigs/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$chk/inc_sigs/$sv/batch=$batchId")
       // commit LAST: the deltas become visible atomically with this marker
       fs.mkdirs(commitsPath)
       fs.create(new org.apache.hadoop.fs.Path(commitsPath, batchId), true).close()

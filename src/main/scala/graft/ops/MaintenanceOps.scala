@@ -56,16 +56,21 @@ object MaintenanceOps {
       opts: graft.pipeline.PipelineOptions = graft.pipeline.PipelineOptions(),
       fromHtml: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val params = s"kernel=${graft.pipeline.DocSig.kernelFingerprint(cfg)}," +
-      s"corpus=$corpusTag,sh=${opts.simHashChannel}," +
-      s"shmax=${opts.simHashMaxHamming},bandsv=2" // bandsv: band-key semantics
+    // band-only knobs (shmax/bandsv) are scoped to the BANDS descriptor so
+    // toggling them rebuilds the band table from the signature checkpoint
+    // instead of re-signing the corpus (the dominant CPU cost); sigv is the
+    // signature-stage semantics version (v2: S1 url key-dedup)
+    val sigParams = s"kernel=${graft.pipeline.DocSig.kernelFingerprint(cfg)}," +
+      s"corpus=$corpusTag,sigv=2"
+    val bandParams = sigParams + s",sh=${opts.simHashChannel}," +
+      s"shmax=${opts.simHashMaxHamming},bandsv=2"
     val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
-    val sigDesc = ledger.descriptor("dedup_sigs", params, Nil)
+    val sigDesc = ledger.descriptor("dedup_sigs", sigParams, Nil)
     val sigs = ledger.stage("dedup_sigs", sigDesc) {
       pipe.signatureStage(pipe.extractStage(docs, fromHtml)).toDF()
     }
     val bands = ledger.stage("dedup_bands",
-        ledger.descriptor("dedup_bands", params, Seq(sigDesc))) {
+        ledger.descriptor("dedup_bands", bandParams, Seq(sigDesc))) {
       // co-locate by band key: the persisted probe layout (Iceberg
       // `band_id, bucket(band_hash)` partitioning analog)
       val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -87,6 +92,22 @@ object MaintenanceOps {
       : (DataFrame, DataFrame) = {
     val (oldSigs, oldBands) = buildOrLoadDedupIndex(spark, oldDocs, ledger, corpusTag, cfg, opts)
     incrementalDupPairs(spark, oldSigs, newDocs, cfg, opts, Some(oldBands))
+  }
+
+  /** The re-election paths re-band via `repBandTable` under the CALLER's
+    * opts — which must match how the input band table was built, or the
+    * appended postings are inconsistent (simhash rows into a minhash-only
+    * table, or wrong-radius chunk keys). The simhash channel is cheaply
+    * observable (chunk tables live at band_id ≥ 100; limit-1 scan), so
+    * that mismatch fails loudly instead of silently diverging.
+    */
+  private def requireChannelConsistency(bands: DataFrame,
+      opts: graft.pipeline.PipelineOptions): Unit = {
+    val tableHasSimhash =
+      bands.where(col("band_id") >= 100).limit(1).count() > 0
+    require(tableHasSimhash == opts.simHashChannel,
+      s"band table simhash channel (present=$tableHasSimhash) does not match " +
+        s"opts.simHashChannel=${opts.simHashChannel} — pass the opts the index was built with")
   }
 
   /** J6 second half — MODIFY/RENAME cascade (≅ the reference's family/
@@ -137,6 +158,7 @@ object MaintenanceOps {
       .withColumn("doc_id", coalesce(col("new_doc_id"), col("doc_id")))
       .drop("new_doc_id")
     if (!repOnlyBands) return (sigs2, bands2)
+    requireChannelConsistency(bands, opts)
 
     // REP RE-ELECTION for the rep-only band table (the flavor `run()` /
     // `buildOrLoadDedupIndex` persist): the banded representative of an
@@ -186,6 +208,7 @@ object MaintenanceOps {
     val sigs2 = signatures.where(!col("doc_id").isInCollection(condemned))
     val bands2 = bands.where(!col("doc_id").isInCollection(condemned))
     if (!repOnlyBands) return (sigs2, bands2)
+    requireChannelConsistency(bands, opts)
     // REP RE-ELECTION (same invariant as renameDocs): deleting an exact
     // group's banded representative must hand its postings to the new
     // min-id survivor, or the survivors silently stop matching probes.
@@ -196,10 +219,15 @@ object MaintenanceOps {
       .join(broadcast(affected), Seq("exact_hash", "exact_hash2"))
       .groupBy("exact_hash", "exact_hash2").agg(min("doc_id").as("new_rep"))
     // survivors' new reps that were NOT already banded (i.e. the deleted
-    // doc was the rep): exactly those absent from the filtered band table
+    // doc was the rep): semi-filter the band table by the rename-sized rep
+    // set FIRST — a full-table distinct here would shuffle every posting
+    // (~10^13 rows at the design point) to answer a broadcast-sized question
+    val bandedNewReps = bands2
+      .join(broadcast(newReps.select(col("new_rep").as("doc_id"))), Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct()
     val addSigs = sigs2
       .join(broadcast(newReps.select(col("new_rep").as("doc_id"))), Seq("doc_id"), "left_semi")
-      .join(bands2.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .join(broadcast(bandedNewReps), Seq("doc_id"), "left_anti")
     val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
     (sigs2, bands2.unionByName(pipe.repBandTable(addSigs)))
   }

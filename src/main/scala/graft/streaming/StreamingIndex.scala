@@ -116,6 +116,13 @@ object StreamingIndex {
     * boundary-independent (asserted by test), while unordered arrivals
     * would need a caller-supplied total-order column carried into state —
     * which the (url, text) stream deliberately does not require.
+    *
+    * UPGRADE NOTE: the state key derivation changed with band-semantics v2
+    * (xxhash64 packed 64-bit band keys). A streaming query restarted from
+    * a PRE-v2 structured-streaming checkpoint would group new rows under
+    * new keys while old `BandResidents` state sits under old keys —
+    * silently missing duplicates across the restart boundary. Restart with
+    * a fresh checkpoint after upgrading.
     */
   def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
       cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] = {
