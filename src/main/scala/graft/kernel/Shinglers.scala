@@ -153,7 +153,13 @@ final class KGramShingler(cfg: GraftConfig, weight: Int)
 final class FuzzyStatShingler(cfg: GraftConfig, weight: Int)
     extends Shingler("FuzzyStatShingler", weight, cfg) {
 
-  private val stopwords: Set[String] = FuzzyStatShingler.Stopwords
+  // java.util.HashSet: ~2× cheaper probe than the immutable Scala Set on
+  // this 30-entry table, and this probe runs once per token per doc
+  private val stopwords: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String](64)
+    FuzzyStatShingler.Stopwords.foreach(h.add)
+    h
+  }
 
   def generateSequences(doc: TextNorm.Tokenized): Seq[String] = {
     val numTokens = doc.numTokens
