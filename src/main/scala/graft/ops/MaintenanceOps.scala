@@ -103,6 +103,10 @@ object MaintenanceOps {
     */
   private def requireChannelConsistency(bands: DataFrame,
       opts: graft.pipeline.PipelineOptions): Unit = {
+    // a legitimately simhash-on index whose band table is EMPTY (no
+    // hashable docs yet) carries no channel evidence either way — don't
+    // fail a valid delete/rename on it
+    if (bands.limit(1).count() == 0) return
     val tableHasSimhash =
       bands.where(col("band_id") >= 100).limit(1).count() > 0
     require(tableHasSimhash == opts.simHashChannel,
@@ -134,14 +138,20 @@ object MaintenanceOps {
     require(clashes == 0, "rename target url already exists (merge, not rename)")
     val newIdUdf = udf((u: String) => graft.hash.SimHash.hash64("doc:" + u))
     val m = renames.toSeq.toDF("url", "new_url")
-    // doc_id rekey map for the derived tables, from the ORIGINAL sigs
-    val idMap = sigs.join(broadcast(m), Seq("url"))
-      .select(col("doc_id"), newIdUdf(col("new_url")).as("new_doc_id")).cache()
+    // doc_id rekey map for the derived tables, from the ORIGINAL sigs —
+    // rename-sized (≤ |renames|, a driver-side admin map), so it lives as a
+    // driver-side array rather than a cached DataFrame (a .cache() here
+    // pins a table for the session lifetime with no unpersist point: the
+    // outputs are returned lazily)
+    val idMapRows = sigs.join(broadcast(m), Seq("url"))
+      .select(col("doc_id"), newIdUdf(col("new_url")).as("new_doc_id"))
+      .as[(Long, Long)].collect()
+    val idMap = idMapRows.toSeq.toDF("doc_id", "new_doc_id")
     // id-collision guard (the birthday event resolveIdCollisions repairs in
     // the pipeline): a renamed id colliding with a RETAINED doc's id — or
     // with another renamed id — would silently merge two documents through
     // every derived table. Admin operation → fail loudly; pick another name.
-    require(idMap.select("new_doc_id").distinct().count() == idMap.count(),
+    require(idMapRows.map(_._2).distinct.length == idMapRows.length,
       "renamed doc_ids collide with each other (1-in-2^64 event) — pick another name")
     val idClash = sigs
       .join(broadcast(idMap.select(col("new_doc_id").as("doc_id"))), Seq("doc_id"), "left_semi")
@@ -181,8 +191,12 @@ object MaintenanceOps {
     val newReps = sigs2.where(col("has_exact"))
       .join(broadcast(affected), Seq("exact_hash", "exact_hash2"))
       .groupBy("exact_hash", "exact_hash2").agg(min("doc_id").as("new_rep"))
-    val repChanges = oldRepsNow.join(newReps, Seq("exact_hash", "exact_hash2"))
-      .where(col("old_rep_now") =!= col("new_rep")).cache()
+    // rename-sized like idMap: collect to the driver instead of caching
+    val repChangeRows = oldRepsNow.join(newReps, Seq("exact_hash", "exact_hash2"))
+      .where(col("old_rep_now") =!= col("new_rep"))
+      .select(col("old_rep_now"), col("new_rep"))
+      .as[(Long, Long)].collect()
+    val repChanges = repChangeRows.toSeq.toDF("old_rep_now", "new_rep")
     val dropIds = repChanges.select(col("old_rep_now").as("doc_id"))
     val pipe = new graft.pipeline.DedupPipeline(spark, cfg, opts)
     // restrict sigs2 to the new reps' rows and reuse the ONE rep-band recipe

@@ -90,7 +90,8 @@ object SearchQuery {
           var rest = tok.substring(colon + 1)
           // quoted value directly after the colon: field:"multi word"
           // (bare() stops at the quote, so rest is empty here)
-          if (rest.isEmpty && !eof && (peek == '"' || peek == '\'')) rest = quoted()
+          val quotedAtColon = rest.isEmpty && !eof && (peek == '"' || peek == '\'')
+          if (quotedAtColon) rest = quoted()
           var (op, v) =
             if (rest.startsWith("<=")) ("<=", rest.drop(2))
             else if (rest.startsWith(">=")) (">=", rest.drop(2))
@@ -101,8 +102,12 @@ object SearchQuery {
             else if (rest.startsWith("?")) ("?", rest.drop(1))
             else if (rest.startsWith("=")) ("=", rest.drop(1))
             else ("=", rest)
-          // quoted value directly after an operator: field:>"a b"
-          if (v.isEmpty && op != "=" && !eof && (peek == '"' || peek == '\'')) v = quoted()
+          // quoted value directly after an operator: field:>"a b" — and the
+          // explicit '=' form field:="a b" (op = "=", v empty from the
+          // drop). The plain-colon case field:"a b" already consumed its
+          // quote above (quotedAtColon), so an empty quoted value there
+          // must not re-consume a following quote as its own.
+          if (v.isEmpty && !quotedAtColon && !eof && (peek == '"' || peek == '\'')) v = quoted()
           Cond(field, op, v)
         } else Term(tok)
       }

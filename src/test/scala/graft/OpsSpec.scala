@@ -69,6 +69,13 @@ class SearchQuerySpec extends SparkTestBase {
     // adjacent terms still split correctly around the quoted value
     assert(parse("a:\"x y\" b:2") ==
       And(List(Cond("a", "=", "x y"), Cond("b", "=", "2"))))
+    // quoted value after the EXPLICIT '=' operator: f:="a b" must be one
+    // condition, not Cond(f,"=","") + a stray Term("a b")
+    assert(parse("f:=\"a b\"") == Cond("f", "=", "a b"))
+    assert(parse("f:='a b'") == Cond("f", "=", "a b"))
+    // an EMPTY quoted value after the plain colon must not swallow a
+    // following quoted term as its own value
+    assert(parse("f:\"\" 'x y'") == And(List(Cond("f", "=", ""), Term("x y"))))
   }
 
   test("conditional-field expansion and id/hex fast-paths") {

@@ -441,9 +441,16 @@ class DedupJobSpec extends SparkTestBase {
     assert(got2.exists(p => ids("n2-2").contains(p._1) || ids("n2-2").contains(p._2)))
 
     // CRASH CONSISTENCY: (a) an orphan uncommitted delta dir — the residue
-    // of a run that died between writes — must be invisible to later runs
+    // of a run that died between writes — must be invisible to later runs.
+    // The orphan sits INSIDE the current version namespace with no matching
+    // inc_commits marker, so what's exercised is the commit-marker gating
+    // (a dir outside v<N>/ would only exercise version-namespacing)
+    val sv = s"v${graft.DedupJob.IncStateVersion}"
     Seq((999999L, 0, 123L)).toDF("doc_id", "band_id", "band_hash")
-      .write.parquet(s"$tmp/ckpt/inc_bands/batch=deadorphan")
+      .write.parquet(s"$tmp/ckpt/inc_bands/$sv/batch=deadorphan")
+    // and a PRE-version orphan exercises namespacing invisibility too
+    Seq((999998L, 0, 124L)).toDF("doc_id", "band_id", "band_hash")
+      .write.parquet(s"$tmp/ckpt/inc_bands/batch=preversion")
     // (b) re-running an already-committed batch must be a no-op on state
     // (fresh=0 via the sweep) and must NOT wipe its earlier deltas
     val (p2b, fresh2b) = graft.DedupJob.runIncremental(spark, argsFor("batch2", "out2b"))
@@ -462,7 +469,25 @@ class DedupJobSpec extends SparkTestBase {
     val new3 = ids("n3-1")
     assert(got3 == pairs3Truth.filter(p => new3.contains(p._1) || new3.contains(p._2)),
       s"step3 $got3")
+
+    // (d) DETECTABLE orphan gating: an uncommitted inc_sigs delta claiming
+    // url "n4-1" sits in the v2 namespace; if the commit-marker gate failed
+    // to hide it, the M7 sweep would see the url as already-signed and drop
+    // the real n4-1 from batch4 (fresh=0). Invisible orphan → fresh=1.
+    spark.read.parquet(s"$tmp/ckpt/inc_sigs/$sv/batch=${committedBatchIds(tmp, sv).head}")
+      .limit(1)
+      .withColumn("url", lit("n4-1"))
+      .withColumn("doc_id", lit(424242L))
+      .write.parquet(s"$tmp/ckpt/inc_sigs/$sv/batch=deadorphan")
+    Seq(("n4-1", t("zz", -1))).toDF("url", "text").write.parquet(s"$tmp/batch4")
+    val (_, fresh4) = graft.DedupJob.runIncremental(spark, argsFor("batch4", "out4"))
+    assert(fresh4 == 1,
+      "uncommitted v2 inc_sigs orphan leaked into the M7 sweep (commit gate broken)")
   }
+
+  private def committedBatchIds(tmp: String, sv: String): Seq[String] =
+    new java.io.File(s"$tmp/ckpt/inc_commits/$sv").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq.sorted // drop local-FS .crc sidecars
 }
 
 class ResumeSpec extends SparkTestBase {

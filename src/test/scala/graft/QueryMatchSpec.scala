@@ -358,6 +358,22 @@ class MaintenanceSpec extends SparkTestBase {
     assert(scoped.nonEmpty && scoped.head._1 == "g2", "nearest in-group doc must rank first")
   }
 
+  test("delete/rename on an EMPTY band table does not trip the channel check") {
+    // a legitimately simhash-on index with no hashable docs yet has an
+    // empty band table — the channel-consistency inference has no evidence
+    // and must not spuriously reject the default opts
+    val docs = Seq(("e1", "x"), ("e2", "y")).toDF("url", "text") // too short to hash
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val sigs = pipe.signatureStage(pipe.extractStage(docs, fromHtml = false)).toDF()
+    val bands = pipe.repBandTable(sigs)
+    assert(bands.count() == 0, "premise: no hashable docs → empty band table")
+    val someId = sigs.select("doc_id").as[Long].head()
+    val (s2, b2) = MaintenanceOps.deleteDocs(sigs, bands, Seq(someId))
+    assert(s2.count() == 1 && b2.count() == 0)
+    val (s3, _) = MaintenanceOps.renameDocs(spark, sigs, bands, Map("e1" -> "e1-renamed"))
+    assert(s3.where(col("url") === "e1-renamed").count() == 1)
+  }
+
   test("delete cascades through signature and band tables") {
     val sigs = Seq((1L, "u1"), (2L, "u2")).toDF("doc_id", "url")
     val bands = Seq((0, 10L, 1L), (0, 10L, 2L), (1, 11L, 1L))
