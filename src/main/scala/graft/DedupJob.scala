@@ -37,7 +37,13 @@ import graft.kernel.GraftConfig
   * by a commit marker written last (see `runIncremental`'s crash-
   * consistency note), and re-sent urls are dropped by the M7 anti-join
   * sweep. Repeated batches therefore keep matching the full-batch answer
-  * on the growing union (asserted by test).
+  * on the growing union (asserted by test). Once `--compact-every` (16)
+  * deltas accumulate they FOLD into a numbered base generation
+  * (`inc_base/<v>/gen=<k>` + marker listing the folded batch ids, written
+  * last) — the probe then reads one base + at most compactEvery-1 delta
+  * dirs no matter how many batches the state has absorbed, the analog of
+  * the reference's periodic pack-based band rebuild
+  * (/root/reference/mcrit/storage/MongoDbStorage.py:1150+).
   */
 object DedupJob {
 
@@ -48,7 +54,7 @@ object DedupJob {
 
   final case class Args(input: String = null, output: String = null,
       checkpoint: Option[String] = None, fromHtml: Boolean = true,
-      incremental: Option[String] = None,
+      incremental: Option[String] = None, compactEvery: Int = 16,
       opts: PipelineOptions = PipelineOptions())
 
   private[graft] def parse(argv: Array[String]): Args = {
@@ -60,6 +66,7 @@ object DedupJob {
         case "--output" => a = a.copy(output = argv(i + 1)); i += 2
         case "--checkpoint" => a = a.copy(checkpoint = Some(argv(i + 1))); i += 2
         case "--incremental" => a = a.copy(incremental = Some(argv(i + 1))); i += 2
+        case "--compact-every" => a = a.copy(compactEvery = argv(i + 1).toInt); i += 2
         case "--text-only" => a = a.copy(fromHtml = false); i += 1
         case "--jaccard-verify" =>
           a = a.copy(opts = a.opts.copy(jaccardVerify = true)); i += 1
@@ -73,8 +80,8 @@ object DedupJob {
     }
     require(a.input != null && a.output != null,
       "usage: DedupJob --input <parquet> --output <dir> [--checkpoint <dir>] " +
-        "[--incremental <parquet>] [--text-only] [--jaccard-verify] " +
-        "[--hot-band-prefilter] [--max-band-group N]")
+        "[--incremental <parquet>] [--compact-every N] [--text-only] " +
+        "[--jaccard-verify] [--hot-band-prefilter] [--max-band-group N]")
     require(a.incremental.isEmpty || a.checkpoint.nonEmpty,
       "--incremental requires --checkpoint (the persisted index lives there)")
     a
@@ -106,15 +113,15 @@ object DedupJob {
     * swept by the M7 anti-join anyway), and the same path with NEW content
     * gets a fresh id.
     */
+  private[graft] val sigColNames = Seq("doc_id", "url", "n_tokens", "hashable",
+    "exact_hash", "exact_hash2", "has_exact", "sig", "simhash")
+  private[graft] val bandColNames = Seq("doc_id", "band_id", "band_hash")
+
   def runIncremental(spark: SparkSession, a: Args,
       cfg: GraftConfig = GraftConfig.default): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val chk = a.checkpoint.get
-    val ledger = new Ledger(spark, chk, cfg.configHash)
     val pipe = new DedupPipeline(spark, cfg, a.opts)
-    val (baseSigs, baseBands) = graft.ops.MaintenanceOps.buildOrLoadDedupIndex(
-      spark, spark.read.parquet(a.input), ledger, corpusTag = a.input, cfg, a.opts,
-      fromHtml = a.fromHtml)
 
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def fsOf(p: String) = new org.apache.hadoop.fs.Path(p).getFileSystem(hadoopConf)
@@ -138,23 +145,41 @@ object DedupJob {
     val commitsPath = new org.apache.hadoop.fs.Path(s"$chk/inc_commits/$sv")
     val committed: Seq[String] =
       if (!fs.exists(commitsPath)) Seq.empty
-      else fs.listStatus(commitsPath).map(_.getPath.getName).toSeq.sorted
+      else fs.listStatus(commitsPath).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).toSeq.sorted
 
-    val sigCols = Seq("doc_id", "url", "n_tokens", "hashable", "exact_hash",
-      "exact_hash2", "has_exact", "sig", "simhash").map(col)
-    val bandCols = Seq("doc_id", "band_id", "band_hash").map(col)
-    // state read = union of COMMITTED per-batch delta dirs only (orphans
-    // from a crashed run are invisible)
-    def readCommitted(sub: String, like: org.apache.spark.sql.DataFrame) = {
-      val dirs = committed.map(id => s"$chk/$sub/$sv/batch=$id").filter(d =>
-        fs.exists(new org.apache.hadoop.fs.Path(d)))
-      if (dirs.isEmpty) like.limit(0) else spark.read.parquet(dirs: _*)
+    // base = latest COMMITTED compacted generation when one exists (then
+    // the raw --input and the build ledger are never touched at all);
+    // otherwise the ledger-persisted index built from --input at most once
+    val gen = latestGen(fs, chk, sv)
+    val (baseSigs, baseBands, foldedIds) = gen match {
+      case Some((g, folded)) =>
+        (spark.read.parquet(s"$chk/inc_base/$sv/gen=$g/sigs"),
+          spark.read.parquet(s"$chk/inc_base/$sv/gen=$g/bands"), folded)
+      case None =>
+        val ledger = new Ledger(spark, chk, cfg.configHash)
+        val (s, b) = graft.ops.MaintenanceOps.buildOrLoadDedupIndex(
+          spark, spark.read.parquet(a.input), ledger, corpusTag = a.input, cfg,
+          a.opts, fromHtml = a.fromHtml)
+        (s, b, Set.empty[String])
     }
+    // only deltas NOT yet folded into the base generation are probed —
+    // compaction keeps this list short (≤ compactEvery) regardless of how
+    // many batches the state has absorbed over its lifetime
+    val unfolded = committed.filterNot(foldedIds)
+
+    val sigCols = sigColNames.map(col)
+    val bandCols = bandColNames.map(col)
+    // state read = union of COMMITTED, UNFOLDED per-batch delta dirs only
+    // (orphans from a crashed run are invisible; folded dirs are already in
+    // the base generation)
+    def readDeltas(sub: String, like: org.apache.spark.sql.DataFrame) =
+      readDeltaDirs(spark, fs, chk, sv, sub, unfolded, like)
     val oldSigs = baseSigs.select(sigCols: _*)
-      .unionByName(readCommitted("inc_sigs", baseSigs).select(sigCols: _*))
-    val replaced = readCommitted("inc_replaced", baseSigs.select("doc_id"))
+      .unionByName(readDeltas("inc_sigs", baseSigs).select(sigCols: _*))
+    val replaced = readDeltas("inc_replaced", baseSigs.select("doc_id"))
     val oldBands = baseBands.select(bandCols: _*)
-      .unionByName(readCommitted("inc_bands", baseBands.select(bandCols: _*)))
+      .unionByName(readDeltas("inc_bands", baseBands.select(bandCols: _*)))
       .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // M7 sweep: re-sent urls are already indexed — only genuinely new rows sign
@@ -170,7 +195,8 @@ object DedupJob {
     val pairs = pipe.probeDupPairsFrom(parts, oldSigs, newSigs)
     pairs.write.mode("overwrite").parquet(a.output)
     val pairCount = spark.read.parquet(a.output).count()
-    if (!committed.contains(batchId)) {
+    val newlyCommitted = !committed.contains(batchId)
+    if (newlyCommitted) {
       parts.newBands.select(bandCols: _*)
         .write.mode("overwrite").parquet(s"$chk/inc_bands/$sv/batch=$batchId")
       parts.replacedReps.select("doc_id")
@@ -182,7 +208,93 @@ object DedupJob {
       fs.create(new org.apache.hadoop.fs.Path(commitsPath, batchId), true).close()
     }
     newSigs.unpersist()
+
+    // ---- delta compaction (the reference's pack-based band rebuild analog,
+    // /root/reference/mcrit/storage/MongoDbStorage.py:1150+): once enough
+    // deltas accumulate, fold them into a new base generation so the probe
+    // stays one-base + few-deltas instead of unioning an ever-growing dir
+    // list and re-applying an ever-growing tombstone anti-join ----
+    val unfoldedAfter = if (newlyCommitted) unfolded :+ batchId else unfolded
+    if (unfoldedAfter.size >= a.compactEvery)
+      compactIncrementalState(spark, chk, baseSigs, baseBands,
+        gen.map(_._1).getOrElse(0), foldedIds, unfoldedAfter)
     (pairCount, freshCount)
+  }
+
+  /** (latest committed base generation, batch ids folded into it). The gen
+    * commit marker is written LAST (after both parquet dirs) and carries the
+    * cumulative folded-id list as its content — an orphan gen dir from a
+    * crashed fold has no marker and is invisible, exactly like delta dirs.
+    */
+  private def latestGen(fs: org.apache.hadoop.fs.FileSystem, chk: String,
+      sv: String): Option[(Int, Set[String])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$chk/inc_base_commits/$sv")
+    if (!fs.exists(p)) return None
+    val gens = fs.listStatus(p).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).flatMap(_.toIntOption)
+    if (gens.isEmpty) return None
+    val g = gens.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(p, g.toString))
+    val folded = try new String(in.readAllBytes(), "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSet
+    finally in.close()
+    Some((g, folded))
+  }
+
+  private def readDeltaDirs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, chk: String, sv: String,
+      sub: String, ids: Seq[String],
+      like: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dirs = ids.map(id => s"$chk/$sub/$sv/batch=$id").filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty) like.limit(0) else spark.read.parquet(dirs: _*)
+  }
+
+  /** Fold the given committed deltas into a new base generation:
+    * sigs = base ∪ delta sigs; bands = (base ∪ delta bands) minus delta
+    * tombstones, re-co-located on the band key (the probe layout). Crash
+    * consistency mirrors the per-batch scheme: both parquet dirs land
+    * first, the gen marker (content = cumulative folded batch ids) last;
+    * folded delta dirs are then deleted best-effort — a crash between
+    * marker and cleanup leaves dirs that every later reader already
+    * excludes via the marker's folded list.
+    */
+  private[graft] def compactIncrementalState(spark: SparkSession, chk: String,
+      baseSigs: org.apache.spark.sql.DataFrame,
+      baseBands: org.apache.spark.sql.DataFrame,
+      curGen: Int, alreadyFolded: Set[String], foldIds: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sv = s"v${DedupJob.IncStateVersion}"
+    val fs = new org.apache.hadoop.fs.Path(chk)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigCols = sigColNames.map(col)
+    val bandCols = bandColNames.map(col)
+    val g2 = curGen + 1
+    val sigs2 = baseSigs.select(sigCols: _*)
+      .unionByName(readDeltaDirs(spark, fs, chk, sv, "inc_sigs", foldIds, baseSigs)
+        .select(sigCols: _*))
+    val replaced = readDeltaDirs(spark, fs, chk, sv, "inc_replaced", foldIds,
+      baseSigs.select("doc_id"))
+    val bands2 = baseBands.select(bandCols: _*)
+      .unionByName(readDeltaDirs(spark, fs, chk, sv, "inc_bands", foldIds,
+        baseBands.select(bandCols: _*)))
+      .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    sigs2.write.mode("overwrite").parquet(s"$chk/inc_base/$sv/gen=$g2/sigs")
+    bands2.repartition(n, col("band_id"), col("band_hash"))
+      .write.mode("overwrite").parquet(s"$chk/inc_base/$sv/gen=$g2/bands")
+    val marker = new org.apache.hadoop.fs.Path(s"$chk/inc_base_commits/$sv/$g2")
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    try out.write((alreadyFolded ++ foldIds).toSeq.sorted.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    // best-effort cleanup: markers in inc_commits stay (they are how a
+    // re-sent identical batch is recognized); only the bulky delta parquet
+    // dirs go
+    for (sub <- Seq("inc_sigs", "inc_bands", "inc_replaced"); id <- foldIds)
+      try fs.delete(new org.apache.hadoop.fs.Path(s"$chk/$sub/$sv/batch=$id"), true)
+      catch { case scala.util.control.NonFatal(_) => }
   }
 
   def main(argv: Array[String]): Unit = {

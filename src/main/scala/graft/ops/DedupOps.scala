@@ -89,8 +89,8 @@ object DedupOps {
   /** Exact n-gram Jaccard near-dup pairs via AllPairs-style PREFIX
     * FILTERING (Bayardo–Ma–Srikant "Scaling Up All Pairs Similarity
     * Search"; Chaudhuri et al. prefix filtering): each doc's distinct
-    * shingle hashes are put in the global canonical order (ascending
-    * document frequency, then hash), and only the PREFIX — the rarest
+    * string shingles are put in the global canonical order (ascending
+    * document frequency, then gram), and only the PREFIX — the rarest
     * p(n) = n − ⌈t·n/(1+t)⌉ + 1 shingles — generates candidate postings.
     *
     * Soundness of p(n): J(A,B) ≥ t ⇒ |A∩B| ≥ t/(1+t)·(|A|+|B|); each
@@ -121,7 +121,7 @@ object DedupOps {
       threshold: Double, maxPostings: Int): DataFrame = {
     val postings = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
-    // canonical order = (df asc, hash asc): global, deterministic, and it
+    // canonical order = (df asc, gram asc): global, deterministic, and it
     // pushes boilerplate to the suffixes where it can't generate candidates
     val ordered = postings.join(dfTab, "sh")
       .groupBy("doc_id")
@@ -235,8 +235,16 @@ object DedupOps {
     if (stat.isNullAt(0)) (0.0, 0.0) else (stat.getDouble(0), stat.getDouble(1))
   }
 
-  /** One shingle-set row per doc: (doc_id, shingles: distinct hashed
-    * k-grams, set_size > 0). */
+  /** One shingle-set row per doc: (doc_id, shingles: distinct STRING
+    * k-grams, set_size > 0). Strings, not hashes, deliberately: the
+    * verification contract is then Jaccard over the true k-gram sets,
+    * exact by construction — a 32-bit hash here let a gram collision
+    * inflate the computed Jaccard relative to the string-set value an
+    * independent oracle computes, and only threshold margin kept the two
+    * in agreement. The join/shuffle keys downstream are these strings;
+    * Spark hashes them for exchange anyway, and the stop-shingle cap
+    * bounds the posting volume that actually shuffles.
+    */
   private def shingleSets(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     val cfg = GraftConfig.default.copy(kGram = k)
     val bcCfg = spark.sparkContext.broadcast(cfg)
@@ -244,7 +252,7 @@ object DedupOps {
       val c = bcCfg.value
       val kg = new KGramShingler(c, 1)
       kg.generateSequences(TextNorm.tokenize(if (text == null) "" else text))
-        .distinct.map(graft.hash.Murmur3.hashU(_, 0)).toArray
+        .distinct.toArray
     })
     docs.select(col("doc_id"), shUdf(col("text")).as("shingles"))
       .withColumn("set_size", size(col("shingles")))

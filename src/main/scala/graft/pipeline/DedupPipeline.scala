@@ -637,8 +637,15 @@ final class DedupPipeline(
       col("band_id"), col("band_hash"), col("doc_id"))
     val probeKeys = packKey(newBands).select("band_key").distinct()
     val oldBandTable = oldBands.getOrElse {
-      // no persisted band table: one linear rep-banding pass over the old
-      // corpus (narrow, no shuffle) — still never a corpus-wide pair stage
+      // no persisted band table: rep-banding the old corpus here pays
+      // exactGroups' CORPUS-WIDE groupBy(exact_hash, exact_hash2) shuffle
+      // on every probe — candidate volume stays ∝ batch, but this
+      // re-aggregation is exactly what the persisted band table
+      // (buildOrLoadDedupIndex / run()'s bands stage) exists to avoid.
+      // Acceptable for one-shot index-less probes; at scale, pass oldBands.
+      System.err.println("[graft] probeParts: no persisted band table — " +
+        "re-aggregating the old corpus to rep-band it (pass oldBands from " +
+        "buildOrLoadDedupIndex to avoid this per-batch shuffle)")
       repBandTable(oldSigs0)
     }
     val oldProbe = packKey(oldBandTable)

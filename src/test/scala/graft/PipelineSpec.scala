@@ -488,6 +488,90 @@ class DedupJobSpec extends SparkTestBase {
   private def committedBatchIds(tmp: String, sv: String): Seq[String] =
     new java.io.File(s"$tmp/ckpt/inc_commits/$sv").listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).toSeq.sorted // drop local-FS .crc sidecars
+
+  test("delta compaction: folded state answers identically and bounds probed dirs") {
+    import spark.implicits._
+    val sv = s"v${graft.DedupJob.IncStateVersion}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    def t(tag: String, tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    Seq(("b-1", t("ja", -1)), ("b-2", t("ja", 5)), ("b-3", t("qq", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/input")
+    Seq(("n1-1", t("ja", 9)), ("n1-2", t("kz", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/batch1")
+    Seq(("n2-1", t("kz", 13)), ("n2-2", t("qq", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/batch2")
+    Seq(("n3-1", t("kz", 21))).toDF("url", "text").write.parquet(s"$tmp/batch3")
+    Seq(("n4-1", t("ja", 17)), ("n4-2", t("ww", -1)))
+      .toDF("url", "text").write.parquet(s"$tmp/batch4")
+    Seq(("n5-1", t("ww", 5))).toDF("url", "text").write.parquet(s"$tmp/batch5")
+
+    // two parallel states over the SAME batch files: compacting every 2
+    // deltas vs never (the uncompacted union is the reference semantics,
+    // itself verified against full-batch truth by the rolling test above)
+    def argsFor(ckpt: String, batch: Int, every: Int) = graft.DedupJob.Args(
+      input = s"$tmp/input", output = s"$tmp/$ckpt-out$batch",
+      checkpoint = Some(s"$tmp/$ckpt"), fromHtml = false,
+      incremental = Some(s"$tmp/batch$batch"), compactEvery = every)
+    def pairsOf(ckpt: String, batch: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$tmp/$ckpt-out$batch")
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+    def deltaDirs(ckpt: String): Seq[String] = {
+      val d = new java.io.File(s"$tmp/$ckpt/inc_sigs/$sv")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+    }
+    def run(batch: Int): (Long, Long) = {
+      val u = graft.DedupJob.runIncremental(spark, argsFor("cu", batch, 1000))
+      val c = graft.DedupJob.runIncremental(spark, argsFor("cc", batch, 2))
+      assert(pairsOf("cc", batch) == pairsOf("cu", batch),
+        s"batch $batch: compacted pairs diverge from uncompacted")
+      assert(c == u, s"batch $batch: (pairs, fresh) diverge: $c vs $u")
+      c
+    }
+
+    run(1)
+    assert(deltaDirs("cc").size == 1 && !new java.io.File(s"$tmp/cc/inc_base").exists(),
+      "one delta, below the fold trigger")
+    run(2) // second delta trips compactEvery=2 → fold into gen=1
+    assert(new java.io.File(s"$tmp/cc/inc_base/$sv/gen=1/bands").exists(),
+      "generation 1 must exist after the trigger")
+    assert(deltaDirs("cc").isEmpty, "folded delta dirs must be cleaned up")
+
+    // post-fold, the raw input and the build ledger must never be touched:
+    // destroy both for the compacted state and keep probing
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/input"))
+    new java.io.File(s"$tmp/cc").listFiles()
+      .filter(_.getName.startsWith("dedup_"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+    // (the uncompacted state still needs its ledger, but not the input —
+    // its index was built on batch 1)
+    run(3)
+    assert(deltaDirs("cc").size == 1, "one unfolded delta after batch 3")
+    run(4) // trips the trigger again → gen=2 folding batches 3+4
+    assert(new java.io.File(s"$tmp/cc/inc_base/$sv/gen=2/bands").exists())
+    assert(deltaDirs("cc").isEmpty)
+    // the gen marker carries the CUMULATIVE folded list
+    val folded2 = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$tmp/cc/inc_base_commits/$sv/2"))
+      .linesIterator.filter(_.nonEmpty).size
+    assert(folded2 == 4, s"gen 2 must list all four folded batches, got $folded2")
+
+    // crash-consistency: an orphan gen dir with NO marker (a fold that died
+    // mid-write) must be invisible
+    Seq((999999L, 0, 123L)).toDF("doc_id", "band_id", "band_hash")
+      .write.parquet(s"$tmp/cc/inc_base/$sv/gen=99/bands")
+    Seq((999999L, "orphan")).toDF("doc_id", "url")
+      .write.parquet(s"$tmp/cc/inc_base/$sv/gen=99/sigs")
+    run(5)
+
+    // a re-sent already-folded batch: recognized via the retained commit
+    // marker, swept to zero fresh docs, no state rewrite
+    val (p2b, fresh2b) = graft.DedupJob.runIncremental(spark, argsFor("cc", 2, 2))
+    assert(fresh2b == 0 && p2b == 0, "re-sent folded batch must be a no-op")
+    assert(deltaDirs("cc").size == 1, "re-send must not write new deltas")
+  }
 }
 
 class ResumeSpec extends SparkTestBase {

@@ -108,6 +108,57 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial"), s"aggregates must partial-combine map-side:\n$plan")
   }
 
+  test("probe with a persisted band table never re-aggregates the old corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-probeplan").toString
+    def t(tag: String, tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    val pipe = new graft.pipeline.DedupPipeline(spark)
+    val oldDocs = Seq(("o1", t("pp", -1)), ("o2", t("pp", 5)), ("o3", t("rr", -1)))
+      .toDF("url", "text")
+    pipe.signatureStage(pipe.extractStage(oldDocs, fromHtml = false)).toDF()
+      .write.parquet(s"$tmp/sigs")
+    val oldSigs = spark.read.parquet(s"$tmp/sigs")
+    pipe.repBandTable(oldSigs).write.parquet(s"$tmp/bands")
+    val oldBands = spark.read.parquet(s"$tmp/bands")
+    val batch = Seq(("n1", t("pp", 9))).toDF("url", "text")
+    val newSigs = pipe.signatureStage(pipe.extractStage(batch, fromHtml = false)).toDF()
+
+    def scansOldSigs(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(_.toString.contains(s"$tmp/sigs"))
+        case _ => false
+      }
+      case _ => false
+    }
+    // an Aggregate over the old signature table with no Join beneath it is a
+    // corpus-wide re-aggregation — the persisted-index probe must restrict
+    // the old side to batch-touched groups (a semi join) BEFORE any groupBy.
+    // Asserted on the ProbeParts members (pre-candidate-stage): the
+    // candidate stage eagerly materializes to a LogicalRDD, which would
+    // hide the offending subtree from the final plan.
+    def corpusWideAggs(df: org.apache.spark.sql.DataFrame): Seq[Aggregate] =
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if scansOldSigs(a.child) &&
+          a.child.collectFirst { case j: Join => j }.isEmpty => a
+      }
+    val indexed = pipe.probeParts(oldSigs, newSigs, Some(oldBands))
+    for ((df, what) <- Seq(indexed.candInput -> "candInput",
+        indexed.exactEdges -> "exactEdges", indexed.newBands -> "newBands",
+        indexed.replacedReps -> "replacedReps"))
+      assert(corpusWideAggs(df).isEmpty,
+        s"indexed probe re-aggregates the old corpus in $what:\n" +
+          df.queryExecution.optimizedPlan)
+    // positive control: the index-less fallback DOES pay that aggregation
+    // (documented), proving this test detects it
+    val fallback = pipe.probeParts(oldSigs, newSigs, None)
+    assert(corpusWideAggs(fallback.candInput).nonEmpty,
+      "detector lost sight of the fallback's corpus-wide aggregation — " +
+        "if the fallback no longer re-aggregates, update the probeParts docs")
+  }
+
   test("small dimension joins broadcast (Catalyst stats/AQE)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val nation = spark.read.parquet(s"$sf/customer.parquet")
