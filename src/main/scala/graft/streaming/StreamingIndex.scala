@@ -35,22 +35,36 @@ object StreamingIndex {
     * chunk tables when that channel is on (same disjoint band_id space as
     * the batch `simhashBandStage`, so the appended rows probe identically).
     *
-    * Honest caveats vs the batch rep-only table: streamed postings are
-    * PER-DOC — no exact-group rep collapse (that needs cross-batch group
-    * state; route dup-heavy streams through `exactDedupStream` first and
-    * append only first-seen docs), so a burst of byte-identical pages
-    * bands every copy and leans on the stop-band cap where the batch path
-    * would have collapsed them to one representative.
+    * Honest caveat vs the batch rep-only table: THIS flavor's postings are
+    * PER-DOC — a burst of byte-identical pages bands every copy and leans
+    * on the stop-band cap. `bandPostingsStreamDeduped` is the composed
+    * rep-collapsed surface (first-seen content only), matching the batch
+    * V7 semantics for duplicate-heavy crawl streams.
     */
   def bandPostingsStream(spark: SparkSession, docs: DataFrame,
       cfg: GraftConfig = GraftConfig.default,
-      simHashChannel: Boolean = true, simHashMaxHamming: Int = 2): DataFrame = {
+      simHashChannel: Boolean = true, simHashMaxHamming: Int = 2): DataFrame =
+    bandPostingsFromSigs(spark,
+      signatureStream(spark, docs, cfg).toDF(), cfg, simHashChannel, simHashMaxHamming)
+
+  /** As `bandPostingsStream`, but only each distinct content's FIRST
+    * arrival bands (`firstSeenSigStream`) — a 100-copy duplicate burst
+    * appends ONE doc's postings, like the batch rep-only table.
+    */
+  def bandPostingsStreamDeduped(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default,
+      simHashChannel: Boolean = true, simHashMaxHamming: Int = 2): DataFrame =
+    bandPostingsFromSigs(spark,
+      firstSeenSigStream(spark, docs, cfg).toDF(), cfg, simHashChannel, simHashMaxHamming)
+
+  private def bandPostingsFromSigs(spark: SparkSession, sigs0: DataFrame,
+      cfg: GraftConfig, simHashChannel: Boolean, simHashMaxHamming: Int): DataFrame = {
     val bcCfg = spark.sparkContext.broadcast(cfg)
     val bandsUdf = udf((sig: Array[Byte]) => {
       val c = bcCfg.value
       new Bands(c).bandHashes(new MinHasher(c).unpack(sig))
     })
-    val sigs = signatureStream(spark, docs, cfg).toDF().where(col("hashable"))
+    val sigs = sigs0.where(col("hashable"))
     val mh = sigs
       .select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
     if (!simHashChannel) mh
@@ -61,6 +75,40 @@ object StreamingIndex {
         .select(col("doc_id"), posexplode(combosUdf(col("simhash"))).as(Seq("band_id", "band_hash")))
         .select(col("doc_id"), (col("band_id") + lit(100)).as("band_id"), col("band_hash")))
     }
+  }
+
+  /** First-seen-only signature stream — the streaming composition of the
+    * batch V7 rep-only collapse (the reference always dedups by sha256
+    * before indexing, /root/reference/mcrit/storage/MemoryStorage.py:356-384):
+    * docs are signed in-flight, grouped by the 128-bit exact identity, and
+    * only each content's FIRST arrival passes through (one `FirstSeen`
+    * state row per distinct content — the same state shape and size bound
+    * as `exactDedupStream`); docs without an exact hash pass through
+    * unconditionally, as in the batch rep band table. Representative
+    * election is first-arrival (ascending doc_id within a micro-batch),
+    * not global min doc_id as in batch — a stream cannot see the future;
+    * probes stay correct because every member of an exact group carries
+    * identical band keys. Re-delivery of already-seen content (including
+    * the representative itself) emits nothing.
+    */
+  def firstSeenSigStream(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default): Dataset[DocSig] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sigs = signatureStream(spark, docs, cfg)
+    val firstSeen = sigs.filter((d: DocSig) => d.has_exact)
+      .groupByKey(d => (d.exact_hash, d.exact_hash2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Long, Long), rows: Iterator[DocSig], state: GroupState[FirstSeen]) => {
+          if (state.exists) Iterator.empty
+          else {
+            // deterministic within a batch: first-seen = min (doc_id, url)
+            val f = rows.minBy(d => (d.doc_id, d.url))
+            state.update(FirstSeen(f.url, f.doc_id))
+            Iterator.single(f)
+          }
+        })
+    firstSeen.union(sigs.filter((d: DocSig) => !d.has_exact))
   }
 
   /** Event-time tumbling-window aggregation with watermark over a stream of
@@ -125,7 +173,22 @@ object StreamingIndex {
     * a fresh checkpoint after upgrading.
     */
   def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
-      cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] = {
+      cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] =
+    nearDupPairsFromSigs(spark, signatureStream(spark, docs, cfg).toDF(), cfg, cap)
+
+  /** As `nearDupPairsStream`, but over FIRST-SEEN content only
+    * (`firstSeenSigStream` composed in front): a duplicate burst
+    * contributes one resident per band key instead of `cap`-filling every
+    * key it touches, so exact copies generate NO near-dup pairs (they are
+    * the exact channel's job — `exactDedupStream`) and the band state
+    * matches the batch rep-only table.
+    */
+  def nearDupPairsStreamDeduped(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default, cap: Int = 500): Dataset[StreamPair] =
+    nearDupPairsFromSigs(spark, firstSeenSigStream(spark, docs, cfg).toDF(), cfg, cap)
+
+  private def nearDupPairsFromSigs(spark: SparkSession, sigs: DataFrame,
+      cfg: GraftConfig, cap: Int): Dataset[StreamPair] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val bcCfg = spark.sparkContext.broadcast(cfg)
@@ -133,7 +196,7 @@ object StreamingIndex {
       val c = bcCfg.value
       new Bands(c).bandHashes(new MinHasher(c).unpack(sig))
     })
-    val postings = signatureStream(spark, docs, cfg).toDF()
+    val postings = sigs
       .where(col("hashable"))
       .select(col("doc_id"), col("sig"),
         posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
@@ -186,8 +249,9 @@ object StreamingIndex {
     */
   def nearDupPairsDistinct(spark: SparkSession, docs: DataFrame,
       cfg: GraftConfig = GraftConfig.default, cap: Int = 500,
-      ttl: Option[String] = None): DataFrame = {
-    val pairs = nearDupPairsStream(spark, docs, cfg, cap).toDF()
+      ttl: Option[String] = None, firstSeenOnly: Boolean = false): DataFrame = {
+    val pairs = (if (firstSeenOnly) nearDupPairsStreamDeduped(spark, docs, cfg, cap)
+      else nearDupPairsStream(spark, docs, cfg, cap)).toDF()
     ttl match {
       case Some(d) => pairs
         .withColumn("emit_ts", current_timestamp())

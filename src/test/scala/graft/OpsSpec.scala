@@ -566,6 +566,69 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 3, s"expected the 3 pairs exactly once: ${rows.toSeq}")
   }
 
+  test("deduped band stream: a 100-copy burst bands one representative, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("url", "text")
+    val bands = graft.streaming.StreamingIndex.bandPostingsStreamDeduped(spark, stream)
+    val q = bands.writeStream.format("memory").queryName("bands_dedup")
+      .outputMode("append").start()
+    val burst = (1 to 40).map(i => s"burst$i copy$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i text$i").mkString(" ")
+    // batch 1: 60 byte-identical copies + 1 distinct doc
+    mem.addData(((1 to 60).map(i => (s"dup$i", burst)) :+ (("solo", other))): _*)
+    q.processAllAvailable()
+    // batch 2: 40 MORE copies of the same content — state must remember
+    // batch 1 and emit nothing (including a re-send of the rep itself)
+    mem.addData((1 to 40).map(i => (s"late$i", burst)): _*)
+    q.processAllAvailable()
+    val gotIds = spark.sql("select distinct doc_id from bands_dedup").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    // first-seen rep = min (doc_id, url) among the batch-1 copies
+    val rep = (1 to 60).map(i => s"dup$i").map(u => (id(u), u)).min._1
+    assert(gotIds == Set(rep, id("solo")),
+      s"expected exactly the first-seen rep + solo banded, got ${gotIds.size} ids")
+    // and the rep's postings match the per-doc stream's for one doc: both
+    // channels, no duplicate band rows
+    val perBand = spark.sql(
+      "select doc_id, band_id, band_hash, count(*) c from bands_dedup group by 1,2,3 having c > 1")
+    assert(perBand.isEmpty, "no posting may appear twice")
+  }
+
+  test("deduped near-dup stream: exact copies pair zero times; variants pair the rep only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("url", "text")
+    val pairs = graft.streaming.StreamingIndex.nearDupPairsStreamDeduped(spark, stream)
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_dedup")
+      .outputMode("append").start()
+    def fam(tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"nd${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    // batch 1: 50 exact copies of the family base — with per-doc banding
+    // these would cap-fill every band key and pair ~quadratically; the
+    // composed surface must emit ZERO pairs (exact copies are the exact
+    // channel's job)
+    mem.addData((1 to 50).map(i => (s"e$i", fam(-1))): _*)
+    q.processAllAvailable()
+    assert(spark.sql("select * from neardup_dedup").isEmpty,
+      "a burst of exact copies must generate no near-dup pairs")
+    // batch 2: a NEAR-dup variant — must pair against the batch-1
+    // representative exactly once, not against all 50 copies
+    mem.addData(("v1", fam(5)))
+    q.processAllAvailable()
+    val got = spark.sql("select distinct a, b from neardup_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    val rep = (1 to 50).map(i => s"e$i").map(u => (id(u), u)).min._1
+    val v = id("v1")
+    assert(got == Set((math.min(rep, v), math.max(rep, v))),
+      s"variant must pair the first-seen rep exactly once: $got")
+  }
+
   test("near-dup cap crossing is batch-boundary-independent for id-ordered arrivals") {
     def run(batches: Seq[Seq[(String, String)]]): Set[(Long, Long)] = {
       implicit val sqlCtx = spark.sqlContext
