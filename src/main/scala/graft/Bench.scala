@@ -142,12 +142,75 @@ object Bench {
   // in-process probe the 50k value was set for reads systematically higher
   // by spreading over idle cores). 55k keeps slow-state-quiet at factor
   // ~1.1 (labeled, no backoff) while the observed steal case (pinned 33.6k)
-  // reads 1.6 → backoff.
-  private val QuietKernel8 = 55000.0
+  // reads 1.6 → backoff. This is the FLOOR: the effective reference is
+  // max(floor, best pinned probe ever observed under the CURRENT kernel
+  // bytecode) — see `quietRefK8` — so a kernel speed-up re-calibrates the
+  // gate automatically on the first quiet run instead of needing a hand
+  // bump here (and a kernel change resets the learned value, because the
+  // stored file is keyed by the kernel classes' bytecode hash).
+  private val QuietKernel8Floor = 55000.0
   private val QuietBw32 = 105.7
 
-  /** (kernel8 docs/s, membw32 GB/s, contention factor ≥ 1). A probe that
-    * failed outright (returned ≤ 0, e.g. the in-process triad under memory
+  /** Hash of the hot-kernel classes' BYTECODE — unlike
+    * `DocSig.kernelFingerprint` (output behavior), this moves on any
+    * recompile of the code whose SPEED the quiet reference calibrates,
+    * including output-identical optimizations.
+    */
+  private[graft] lazy val kernelCodeFingerprint: String = {
+    val classes: Seq[Class[_]] = Seq(
+      classOf[graft.pipeline.DocSig.Kernel], graft.kernel.TextNorm.getClass,
+      graft.kernel.Shinglers.getClass, classOf[graft.kernel.MinHasher],
+      graft.hash.SimHash.getClass, graft.hash.Murmur3.getClass,
+      classOf[graft.kernel.Bands])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    classes.foreach { c =>
+      val in = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
+      if (in != null) try md.update(in.readAllBytes()) finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  private lazy val quietRefFile =
+    new java.io.File(s"/tmp/graft-bench-quiet-ref-$kernelCodeFingerprint.txt")
+
+  /** Best pinned kernel8 probe observed under the current kernel bytecode
+    * (0 if none recorded yet). Read once per run — observations recorded
+    * during this run calibrate the NEXT run, keeping the factor definition
+    * stable within one JSON line.
+    */
+  private lazy val storedQuietK8: Double =
+    try {
+      if (quietRefFile.exists())
+        new String(java.nio.file.Files.readAllBytes(quietRefFile.toPath), "UTF-8").trim.toDouble
+      else 0.0
+    } catch { case _: Throwable => 0.0 }
+
+  /** Effective quiet reference: the learned best is shrunk by the host's
+    * measured fast/slow QUIET band (pinned quiet probes span ~0.65–1.0 of
+    * best across days — BENCH.md r4/r5) so a slow-but-quiet window reads a
+    * small label (~1.1), not a spurious >1.5 backoff; genuine steal
+    * (observed 33.6k vs best 78.6k = 0.43×) still trips the gate. The
+    * floor applies until the first quiet run under a new kernel learns a
+    * value (0.70 × floor would under-detect).
+    */
+  private[graft] def quietRefK8: Double = math.max(QuietKernel8Floor, storedQuietK8 * 0.70)
+
+  /** Record a pinned probe value as a quiet-reference candidate (max wins;
+    * contended windows read LOW and are ignored by construction). Unpinned
+    * fallback values are never recorded — they read systematically high by
+    * spreading over idle cores and would poison the reference.
+    */
+  private def recordQuietObservation(k8: Double, pinned: Boolean): Unit =
+    if (pinned && k8 > math.max(storedQuietK8, 0.0)) {
+      try java.nio.file.Files.write(quietRefFile.toPath, f"$k8%.0f".getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+
+  private[graft] final case class Probe(
+      k8: Double, bw32: Double, factor: Double, pinned: Boolean)
+
+  /** Kernel + bus probe with contention factor ≥ 1. A probe that failed
+    * outright (returned ≤ 0, e.g. the in-process triad under memory
     * pressure) is excluded from the factor rather than driving it to
     * infinity and wedging the backoff loop.
     *
@@ -156,35 +219,46 @@ object Bench {
     * its threads over all 32 host CPUs and AVERAGES AWAY hypervisor steal
     * concentrated on the low cores: an r4 recording measured every pinned
     * fork ~3× slow while unpinned probes read a quiet 1.00 throughout.
+    * `pinned=false` marks the in-process fallback (its value is NOT
+    * comparable to the pinned quiet reference — ship the flag so the
+    * factor can be read with that caveat).
     */
-  private[graft] def contentionProbe(): (Double, Double, Double) = {
-    val k8 = pinnedKernelProbe(8)
+  private[graft] def contentionProbe(): Probe = {
+    val (k8, pinned) = pinnedKernelProbe(8)
+    recordQuietObservation(k8, pinned)
     val bw = graft.tools.MemBandwidth.probe(32)
-    val fk = if (k8 > 0) QuietKernel8 / k8 else 1.0
+    val fk = if (k8 > 0) quietRefK8 / k8 else 1.0
     val fb = if (bw > 0) QuietBw32 / bw else 1.0
-    (k8, bw, math.max(1.0, math.max(fk, fb)))
+    Probe(k8, bw, math.max(1.0, math.max(fk, fb)), pinned)
   }
 
   /** 8-thread kernel docs/s measured in a fork pinned to cores 0-7 (the
     * cores every pinned dedup level uses); in-process unpinned fallback if
-    * the fork fails.
+    * the fork fails — loudly, and flagged false in the result, because the
+    * quiet reference was calibrated for the pinned flavor and an unpinned
+    * value silently mis-scales the contention factor.
     */
-  private[graft] def pinnedKernelProbe(cores: Int): Double = {
+  private[graft] def pinnedKernelProbe(cores: Int): (Double, Boolean) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin,
       s"-XX:ActiveProcessorCount=$cores", "-Xmx2g",
       "-cp", cp, "graft.BenchProbePinned", cores.toString)
+    def fallback(why: String): (Double, Boolean) = {
+      System.err.println(s"[bench] WARNING: pinned kernel probe unavailable ($why); " +
+        "using the UNPINNED in-process fallback — factor is mis-scaled vs the pinned quiet ref")
+      (kernelRun(cores, 6000), false)
+    }
     try {
       val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       proc.waitFor()
       out.linesIterator.find(_.startsWith("PINNED_KERNEL "))
-        .map(_.split(' ')(1).toDouble)
-        .getOrElse(kernelRun(cores, 6000))
+        .map(l => (l.split(' ')(1).toDouble, true))
+        .getOrElse(fallback("no PINNED_KERNEL line in fork output"))
     } catch {
-      case _: Throwable => kernelRun(cores, 6000)
+      case e: Throwable => fallback(e.getMessage)
     }
   }
 
@@ -197,24 +271,26 @@ object Bench {
     // scheduling costs): 25× the table sf → ~290k docs at sf0.1
     val corpusSf = math.min(10.0, math.max(0.05, 25 * sf))
 
-    // ---- contention gate: probe FIRST, back off once if the window is hot ----
+    // ---- contention gate: probe FIRST, back off (bounded) while hot ----
+    // this startup probe doubles as the QUERY-pass pre-probe: the query
+    // loop starts immediately after it, under the same bounded backoff
+    // policy as the dedup levels (the r3/r4 recordings proved the query
+    // pass is just as window-hostage as the timed levels were)
     warmKernel()
-    var (probeK8, probeBw32, contentionFactor) = contentionProbe()
-    var contentionRetried = false
-    if (contentionFactor > 1.5) {
-      System.err.println(f"[bench] contended window (factor $contentionFactor%.2f); backing off 120s")
-      contentionRetried = true
-      Thread.sleep(120000)
-      val p2 = contentionProbe()
-      if (p2._3 < contentionFactor) { probeK8 = p2._1; probeBw32 = p2._2; contentionFactor = p2._3 }
+    var queriesPre = contentionProbe()
+    var queriesPreBackoffs = 0
+    while (queriesPreBackoffs < 3 && queriesPre.factor > 1.5) {
+      System.err.println(f"[bench] contended window before query pass (factor ${queriesPre.factor}%.2f); backing off 90s (${queriesPreBackoffs + 1}/3)")
+      queriesPreBackoffs += 1
+      Thread.sleep(90000)
+      queriesPre = contentionProbe()
     }
 
     // ---- headline operator queries on the driver-provided tables ----
     val headline = Seq("q_exact_dedup_groups", "q_token_count", "q_agg_rollup",
       "q_top_per_group", "q_argmax", "q_minhash_pairs", "q_minhash_clusters",
       "q_ngram_jaccard", "q_ann_lsh", "q_simhash", "q_event_window")
-    val spark0 = mkSession(cpus, cpus)
-    def timeAll(): Seq[(String, Double)] =
+    def timeAll(spark0: SparkSession): Seq[(String, Double)] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val t0 = System.nanoTime()
@@ -225,7 +301,33 @@ object Bench {
     // two passes: the first (reported as total_query_sec_cold) carries the
     // per-session fixed costs — JIT, codegen compilation, parquet footer
     // reads; the second is steady-state operator throughput. Both ship.
-    val (coldTimes, queryTimes) = try { (timeAll(), timeAll()) } finally spark0.stop()
+    def runQueryPass(): (Seq[(String, Double)], Seq[(String, Double)]) = {
+      val spark0 = mkSession(cpus, cpus)
+      try { (timeAll(spark0), timeAll(spark0)) } finally spark0.stop()
+    }
+    var (coldTimes, queryTimes) = runQueryPass()
+    // post-queries probe: the pre-gate can't see the window turning DURING
+    // the pass (the exact failure mode of the r3/r4 recorded per-query
+    // tables). If the pass ended hot, back off (bounded) and re-run it
+    // once in the recovered window; if the window never recovers, the >1
+    // factor ships as the label.
+    var queriesPost = contentionProbe()
+    var queriesRerun = false
+    if (queriesPost.factor > 1.5) {
+      var b = 0
+      var p = queriesPost
+      while (b < 2 && p.factor > 1.5) {
+        System.err.println(f"[bench] query pass ended contended (factor ${p.factor}%.2f); backing off 90s (${b + 1}/2)")
+        b += 1; Thread.sleep(90000); p = contentionProbe()
+      }
+      if (p.factor <= 1.5) {
+        System.err.println("[bench] window recovered; re-running the query pass")
+        queriesRerun = true
+        val (c2, q2) = runQueryPass()
+        coldTimes = c2; queryTimes = q2
+        queriesPost = contentionProbe()
+      } else queriesPost = p
+    }
     val coldTotal = coldTimes.map(_._2).sum
 
     // ---- dedup throughput at two parallelism levels ----
@@ -243,12 +345,11 @@ object Bench {
     // the window the timed levels actually entered (the startup value still
     // ships as factor_pre)
     var waits = 0
-    var (preDedupK8, preDedupBw32, preDedupFactor) = contentionProbe()
-    while (waits < 3 && preDedupFactor > 1.5) {
+    var preDedup = contentionProbe()
+    while (waits < 3 && preDedup.factor > 1.5) {
       System.err.println(s"[bench] window still contended before dedup levels; backing off 90s (${waits + 1}/3)")
       Thread.sleep(90000); waits += 1
-      val p = contentionProbe()
-      preDedupK8 = p._1; preDedupBw32 = p._2; preDedupFactor = p._3
+      preDedup = contentionProbe()
     }
     val r8 = Seq.fill(2)(dedupRun(8, 8, corpusPath, warmupPath))
     val r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
@@ -290,9 +391,11 @@ object Bench {
 
     // post-run contention check: the factor that actually applied to the
     // timed levels (the pre-run gate can't see a window turning mid-run)
-    val (postK8, postBw32, postFactor) = contentionProbe()
+    val post = contentionProbe()
+    val allPinned = queriesPre.pinned && queriesPost.pinned && preDedup.pinned && post.pinned
+    val refSource = if (storedQuietK8 > QuietKernel8Floor) "learned" else "floor"
     val contention =
-      f""""contention":{"factor_pre":$contentionFactor%.2f,"factor_pre_dedup":$preDedupFactor%.2f,"factor_post":$postFactor%.2f,"kernel8_probe_pre":$probeK8%.0f,"membw32_probe_pre":$probeBw32%.1f,"kernel8_probe_pre_dedup":$preDedupK8%.0f,"membw32_probe_pre_dedup":$preDedupBw32%.1f,"kernel8_probe_post":$postK8%.0f,"membw32_probe_post":$postBw32%.1f,"quiet_ref_kernel8":$QuietKernel8%.0f,"quiet_ref_membw32":$QuietBw32%.1f,"backoff_retried":$contentionRetried,"dedup_backoffs":$waits}"""
+      f""""contention":{"factor_pre":${queriesPre.factor}%.2f,"factor_queries_pre":${queriesPre.factor}%.2f,"factor_queries_post":${queriesPost.factor}%.2f,"factor_pre_dedup":${preDedup.factor}%.2f,"factor_post":${post.factor}%.2f,"kernel8_probe_pre":${queriesPre.k8}%.0f,"membw32_probe_pre":${queriesPre.bw32}%.1f,"kernel8_probe_queries_post":${queriesPost.k8}%.0f,"membw32_probe_queries_post":${queriesPost.bw32}%.1f,"kernel8_probe_pre_dedup":${preDedup.k8}%.0f,"membw32_probe_pre_dedup":${preDedup.bw32}%.1f,"kernel8_probe_post":${post.k8}%.0f,"membw32_probe_post":${post.bw32}%.1f,"quiet_ref_kernel8":$quietRefK8%.0f,"quiet_ref_source":"$refSource","kernel_code_fingerprint":"$kernelCodeFingerprint","quiet_ref_membw32":$QuietBw32%.1f,"probe_mode":"${if (allPinned) "pinned" else "fallback_unpinned"}","queries_backoffs":$queriesPreBackoffs,"queries_rerun":$queriesRerun,"dedup_backoffs":$waits}"""
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
@@ -300,6 +403,12 @@ object Bench {
     val json =
       f"""{"metric":"dedup_docs_per_sec","value":$tput32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.3f,"total_query_sec_cold":$coldTotal%.3f,$contention,"dedup":{"corpus_sf":$corpusSf,"docs":$docs32,"clusters":$clusters,"sec_local8":$t8%.3f,"sec_local32":$t32%.3f,"docs_per_sec_local8":$tput8%.1f,"docs_per_sec_local32":$tput32%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_pair":"local[1] vs local[4], pinned cores, best-of-2 both sides (constant per-core host resources; see BENCH.md)","scaling_docs":$d1,"sec_local1":$t1%.3f,"sec_local4":$t4%.3f,"scaling_efficiency_8_32":$eff8to32%.3f,"runs_local1":[${r1s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local4":[${r4s.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local8":[${r8.map(r => f"${r._2}%.2f").mkString(",")}],"runs_local32":[${r32.map(r => f"${r._2}%.2f").mkString(",")}],"kernel_docs_per_sec_8t":$k8%.0f,"kernel_docs_per_sec_32t":$k32%.0f,"kernel_scaling_efficiency":$kernelEff%.3f,"membw_8t_gbs":$bw8%.1f,"membw_32t_gbs":$bw32%.1f,"membw_scaling_8_32":$bwEffStr}}"""
     println(json)
+    // also write the line to a plain file: the driver captures stdout
+    // through sbt, whose "[info] " prefix breaks naive JSON parsing of the
+    // recorded artifact (BENCH_r03/r04 both shipped "parsed": null)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft-bench-last.json"), (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write /tmp/graft-bench-last.json: ${e.getMessage}") }
   }
 
   /** Pinned-fork STREAM-triad aggregate GB/s at 8 and 32 threads (see
@@ -388,9 +497,10 @@ object BenchProbePinned {
   * stored quiet-window references after a kernel change. */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
+    println(f"PROBE quiet_ref_kernel8=${Bench.quietRefK8}%.0f (fingerprint ${Bench.kernelCodeFingerprint})")
     for (_ <- 0 until (if (args.nonEmpty) args(0).toInt else 3)) {
-      val (k8, bw32, f) = Bench.contentionProbe()
-      println(f"PROBE kernel8=$k8%.0f docs/s membw32=$bw32%.1f GB/s factor=$f%.2f")
+      val p = Bench.contentionProbe()
+      println(f"PROBE kernel8=${p.k8}%.0f docs/s membw32=${p.bw32}%.1f GB/s factor=${p.factor}%.2f pinned=${p.pinned}")
     }
   }
 }
