@@ -42,6 +42,12 @@ object ConnectedComponents {
   def effectiveDriverThreshold(cap: Long = DriverEdgeThreshold): Long =
     math.min(cap, Runtime.getRuntime.maxMemory() / 4 / 512)
 
+  /** Diagnostic only (read by tools/CCProfile after a `run`): star-loop
+    * iterations of the last distributed run in this JVM, 0 when the last
+    * run took the driver union-find path. Not part of the API contract.
+    */
+  @volatile var lastRunIterations: Int = -1
+
   def run(edgesIn: DataFrame, maxIterations: Int = 25,
       driverThreshold: Long = -1L): DataFrame = {
     val driverEdgeCap =
@@ -62,6 +68,7 @@ object ConnectedComponents {
     if (nEdges <= driverEdgeCap) {
       val result = runDriver(spark, canonical)
       canonical.unpersist()
+      lastRunIterations = 0
       return result
     }
     var edges = canonical.distinct().localCheckpoint(eager = true)
@@ -108,6 +115,7 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIterations iterations")
+    lastRunIterations = iter
 
     // at fixpoint every node points directly at its component minimum
     val asChild = edges.select(col("hi").as("id"), col("lo").as("component"))
