@@ -13,6 +13,9 @@ import graft.kernel.GraftConfig
   *     --output <parquet dir for (url, doc_id, cluster_id)> \
   *     [--checkpoint <ledger dir>]   resumable stage checkpoints + lineage
   *     [--incremental <parquet>]     ROLLING incremental batch (see below)
+  *     [--stream]                    Structured-Streaming ingest (see runStream)
+  *     [--trigger-once]              stream mode: drain available input, stop
+  *     [--state-store rocksdb|hdfs]  stream state backend (default rocksdb)
   *     [--text-only]                 trust the text column (skip extraction)
   *     [--jaccard-verify]            exact k-gram Jaccard after signature verify
   *     [--hot-band-prefilter]        two-phase heavy-hitter exclusion
@@ -55,6 +58,8 @@ object DedupJob {
   final case class Args(input: String = null, output: String = null,
       checkpoint: Option[String] = None, fromHtml: Boolean = true,
       incremental: Option[String] = None, compactEvery: Int = 16,
+      stream: Boolean = false, triggerOnce: Boolean = false,
+      stateStore: String = "rocksdb",
       opts: PipelineOptions = PipelineOptions())
 
   private[graft] def parse(argv: Array[String]): Args = {
@@ -67,6 +72,9 @@ object DedupJob {
         case "--checkpoint" => a = a.copy(checkpoint = Some(argv(i + 1))); i += 2
         case "--incremental" => a = a.copy(incremental = Some(argv(i + 1))); i += 2
         case "--compact-every" => a = a.copy(compactEvery = argv(i + 1).toInt); i += 2
+        case "--stream" => a = a.copy(stream = true); i += 1
+        case "--trigger-once" => a = a.copy(triggerOnce = true); i += 1
+        case "--state-store" => a = a.copy(stateStore = argv(i + 1)); i += 2
         case "--text-only" => a = a.copy(fromHtml = false); i += 1
         case "--jaccard-verify" =>
           a = a.copy(opts = a.opts.copy(jaccardVerify = true)); i += 1
@@ -80,10 +88,17 @@ object DedupJob {
     }
     require(a.input != null && a.output != null,
       "usage: DedupJob --input <parquet> --output <dir> [--checkpoint <dir>] " +
-        "[--incremental <parquet>] [--compact-every N] [--text-only] " +
+        "[--incremental <parquet>] [--compact-every N] [--stream] " +
+        "[--trigger-once] [--state-store rocksdb|hdfs] [--text-only] " +
         "[--jaccard-verify] [--hot-band-prefilter] [--max-band-group N]")
     require(a.incremental.isEmpty || a.checkpoint.nonEmpty,
       "--incremental requires --checkpoint (the persisted index lives there)")
+    require(!a.stream || a.checkpoint.nonEmpty,
+      "--stream requires --checkpoint (streaming state + source progress live there)")
+    require(!a.stream || a.incremental.isEmpty,
+      "--stream and --incremental are mutually exclusive ingest modes")
+    require(Set("rocksdb", "hdfs")(a.stateStore),
+      s"--state-store must be rocksdb or hdfs, got: ${a.stateStore}")
     a
   }
 
@@ -297,11 +312,102 @@ object DedupJob {
       catch { case scala.util.control.NonFatal(_) => }
   }
 
+  /** STREAMING ingest mode (`--stream`, requires `--checkpoint`): `--input`
+    * is watched as a parquet FILE STREAM (new files = new micro-batches —
+    * the crawl-drop ingest shape; the schema is taken from the files
+    * already present). Three Structured-Streaming queries run off the one
+    * source, each with its own checkpoint subdir and recoverable state:
+    *
+    *   - `<output>/verdicts`: per-doc exact-dup verdicts
+    *     (`exactDedupStream` — url, doc_id, is_dup, first_url)
+    *   - `<output>/bands`: rolling band-index postings, FIRST-SEEN reps
+    *     only (`bandPostingsStreamDeduped` — a duplicate burst appends one
+    *     doc's postings, the batch V7 semantics)
+    *   - `<output>/pairs`: at-most-once near-dup pairs over first-seen
+    *     content (`nearDupPairsDistinct(firstSeenOnly = true)`)
+    *
+    * `--trigger-once` processes everything available and stops
+    * (Trigger.AvailableNow — the cron-shaped deployment and the testable
+    * path); without it the queries run continuously. A killed job restarts
+    * from the checkpoint with all state recovered — re-sent content stays
+    * deduped across restarts (asserted by test).
+    *
+    * Scale: state is bounded by DISTINCT content (first-seen rows) and the
+    * rep-only band table (≤ cap residents/key), not by stream length; all
+    * three queries shuffle only on their state keys. Per-query lineage =
+    * the streaming checkpoint's offset log (the batch ledger's analog).
+    *
+    * State backend: `--state-store rocksdb` (the default) uses
+    * RocksDBStateStoreProvider with changelog checkpointing — state lives
+    * on executor local disk with only per-batch changelogs shipped to the
+    * checkpoint, so a web-scale corpus' first-seen state (one row per
+    * distinct content — billions of rows at crawl scale) never has to fit
+    * in executor heap, unlike the HDFS-backed provider's in-memory maps.
+    * `--state-store hdfs` keeps the all-in-memory provider for small
+    * streams. Spark persists the provider class in the checkpoint's offset
+    * log, so a restart keeps whichever backend the checkpoint was born
+    * with regardless of the flag.
+    */
+  def runStream(spark: SparkSession, a: Args,
+      cfg: GraftConfig = GraftConfig.default): (Long, Long, Long) = {
+    import graft.streaming.StreamingIndex
+    val chk = a.checkpoint.get
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    // the provider conf is read at query START (and pinned into the
+    // checkpoint's offset log from then on), so setting it here scopes it
+    // to the queries below; restored after a --trigger-once drain so a
+    // shared session (tests) keeps its own default
+    val saved = Seq(providerKey, changelogKey).map(k => k -> spark.conf.getOption(k))
+    if (a.stateStore == "rocksdb") {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(changelogKey, "true")
+    }
+    def restoreConf(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    val pipe = new DedupPipeline(spark, cfg, a.opts)
+    val schema = spark.read.parquet(a.input).schema
+    val raw = spark.readStream.schema(schema).parquet(a.input)
+    val docs = pipe.extractStage(raw, a.fromHtml)
+
+    val trigger =
+      if (a.triggerOnce) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      else org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds")
+    def start(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.writeStream.format("parquet").outputMode("append")
+        .option("path", s"${a.output}/$name")
+        .option("checkpointLocation", s"$chk/stream/$name")
+        .trigger(trigger).queryName(s"graft-stream-$name").start()
+
+    val queries = Seq(
+      start(StreamingIndex.exactDedupStream(spark, docs, cfg).toDF(), "verdicts"),
+      start(StreamingIndex.bandPostingsStreamDeduped(spark, docs, cfg,
+        a.opts.simHashChannel, a.opts.simHashMaxHamming), "bands"),
+      start(StreamingIndex.nearDupPairsDistinct(spark, docs, cfg,
+        cap = a.opts.maxBandGroupSize, firstSeenOnly = true), "pairs"))
+    if (a.triggerOnce) {
+      try queries.foreach(_.awaitTermination()) finally restoreConf()
+      def n(sub: String) =
+        try spark.read.parquet(s"${a.output}/$sub").count() catch { case _: Throwable => 0L }
+      (n("verdicts"), n("bands"), n("pairs"))
+    } else {
+      spark.streams.awaitAnyTermination()
+      (-1L, -1L, -1L)
+    }
+  }
+
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
     val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
     try {
-      a.incremental match {
+      if (a.stream) {
+        val (verdicts, bands, pairs) = runStream(spark, a)
+        println(s"DEDUP_STREAM_DONE verdicts=$verdicts band_postings=$bands pairs=$pairs output=${a.output}")
+      } else a.incremental match {
         case Some(_) =>
           val (pairRows, freshDocs) = runIncremental(spark, a)
           println(s"DEDUP_INCREMENTAL_DONE pairs=$pairRows new_docs=$freshDocs output=${a.output}")

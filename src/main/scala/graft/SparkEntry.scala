@@ -116,6 +116,8 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "rank")),
     "q_cosine_dups" -> ((s, dir) => AnnOps.cosineDupPairs(emb(s, dir), threshold = 0.4)
       .select("vec_id_a", "vec_id_b")),
+    "q_semdedup" -> ((s, dir) => AnnOps.semDedup(emb(s, dir), eps = 0.6)
+      .select(col("vec_id"), col("cell"), col("group_id"), col("keep"))),
     // ---- substring / reporting / multimodal ----
     "q_substring" -> ((s, dir) => graft.substring.SubstringStage.run(
       s, docs(s, dir).select("doc_id", "text"), window = 8, winnow = 4,
@@ -267,7 +269,8 @@ object SparkEntry {
     (Seq("q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
       "q_substring", "q_cross_compare", "q_query_match")
       .map(n => n -> goldenDoc(n)) ++
-      Seq("q_ann_lsh", "q_ann_ivf", "q_cosine_dups").map(n => n -> goldenEmb(n)) ++
+      Seq("q_ann_lsh", "q_ann_ivf", "q_cosine_dups", "q_semdedup")
+        .map(n => n -> goldenEmb(n)) ++
       Seq("q_media_features", "q_media_frames", "q_phash_dups")
         .map(n => n -> goldenAny(n))).toMap
 

@@ -159,6 +159,56 @@ object AnnOps {
       .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): k-means partitions the embedding space
+    * (the deterministic IVF coarse quantizer reused), within each cell the
+    * pairs with cosine ≥ 1−eps are edges, connected components over those
+    * edges are the ε-similar groups, and ONE survivor is kept per group —
+    * the member LEAST similar to its cell centroid (the paper's
+    * diversity-preserving choice), ties broken by min vec_id.
+    *
+    * Output: (vec_id, cell, group_id, keep) for every input vector;
+    * `group_id` is the component's min vec_id (own id for singletons),
+    * `keep=false` rows are the semantic duplicates to drop.
+    *
+    * Scale shape: one shuffle on the cell key via the shared skew-capped
+    * pair emitter (a hot cell is a degenerate embedding direction — same
+    * boilerplate policy as text LSH), nlist grows √n-ish so cells stay
+    * bounded, verification is the native codegen cosine on candidate pairs
+    * only, and components run through the heap-gated CC (edges within a
+    * cell only, so components never span cells). No full pairwise matrix
+    * is ever materialized, unlike the paper's per-cluster GPU matrix.
+    */
+  def semDedup(df: DataFrame, eps: Double, nlist: Int = 16, dim: Int = 64,
+      maxCell: Int = 2000): DataFrame = {
+    val spark = df.sparkSession
+    val centroids = trainCentroids(df, nlist, dim)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    val cdistUdf = udf((v: Seq[Float], c: Int) =>
+      1.0 - cosineKernel(v.toArray, bc.value(c)))
+    val assigned = df.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignUdf(col("embedding")))
+      .withColumn("cdist", cdistUdf(col("embedding"), col("cell")))
+    val cand = graft.pipeline.DedupPipeline.pairsFromBands(spark,
+      assigned.select(col("vec_id").as("doc_id"), lit(0).as("band_id"),
+        col("cell").cast("long").as("band_hash")),
+      cap = maxCell, bandMatchesRequired = 1)
+    val e = assigned.select(col("vec_id"), col("embedding"))
+    val edges = cand
+      .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
+      .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
+      .where(cosine(col("e_a"), col("e_b")) >= lit(1.0 - eps))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comp = graft.cluster.ConnectedComponents.run(edges)
+      .withColumnRenamed("id", "vec_id")
+    val grouped = assigned.join(comp, Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col("vec_id")))
+    val w = Window.partitionBy("group_id").orderBy(col("cdist").desc, col("vec_id").asc)
+    grouped.withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "cell", "group_id", "keep")
+  }
+
   // ---- IVF (inverted-file) variant -------------------------------------
 
   /** Deterministic driver-side Lloyd's k-means over a fixed sample — the IVF

@@ -21,7 +21,7 @@ object GenFixtures {
   val perSf: Seq[String] = Seq(
     "q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
     "q_substring", "q_cross_compare", "q_query_match",
-    "q_ann_lsh", "q_ann_ivf", "q_cosine_dups")
+    "q_ann_lsh", "q_ann_ivf", "q_cosine_dups", "q_semdedup")
 
   /** dir-independent queries (synthetic media corpus). */
   val anySf: Seq[String] = Seq("q_media_features", "q_media_frames", "q_phash_dups")

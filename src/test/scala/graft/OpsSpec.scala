@@ -259,6 +259,50 @@ class AnnOpsSpec extends SparkTestBase {
     assert(ivfRecall >= 0.9, s"ivf recall@$k = $ivfRecall < 0.9")
   }
 
+  test("semDedup: one survivor per planted ε-similar group, least-central kept") {
+    val dim = 16
+    val rnd = new java.util.Random(23)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    // 3 planted tight groups × 4 members (cos ≥ ~0.99 in-group) + 20
+    // random singletons (random 16-dim directions are near-orthogonal)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var id = 0L
+    for (_ <- 0 until 3) {
+      val base = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      for (_ <- 0 until 4) { rows += ((id, noisy(base))); id += 1 }
+    }
+    for (_ <- 0 until 20) { rows += ((id, Array.fill(dim)(rnd.nextFloat() - 0.5f))); id += 1 }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+
+    val nlist = 4
+    val out = AnnOps.semDedup(df, eps = 0.1, nlist = nlist, dim = dim)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == rows.size, "one output row per input vector")
+
+    for (g <- 0 until 3) {
+      val members = (g * 4L) until (g * 4L + 4)
+      // tight groups are one component under one cell: shared min-id group
+      assert(members.map(out(_)._2).toSet == Set(g * 4L),
+        s"group $g must be one component: ${members.map(out(_)._2)}")
+      assert(members.count(out(_)._3) == 1,
+        s"exactly one survivor in group $g")
+      // the survivor is the member LEAST similar to its cell centroid
+      // (recompute from the same deterministic quantizer), ties → min id
+      val centroids = AnnOps.trainCentroids(df, nlist, dim)
+      val byId = rows.toMap
+      val expected = members.map { m =>
+        val cell = out(m)._1
+        (1.0 - AnnOps.cosineKernel(byId(m), centroids(cell)), m)
+      }.maxBy { case (d, m) => (d, -m) }._2
+      assert(out(expected)._3, s"group $g survivor must be least-central $expected")
+    }
+    // singletons: own group, kept
+    for (s <- 12L until 32L)
+      assert(out(s)._2 == s && out(s)._3, s"singleton $s kept in own group")
+  }
+
   test("cosineKernel is bitwise-identical to the Catalyst HOF cosine") {
     // three independent routes to the same number must agree BITWISE (float
     // products, double accumulation in index order): the declarative HOF
@@ -661,6 +705,58 @@ class StreamingSpec extends SparkTestBase {
     // pairs); the 4th emits nothing
     val Seq(a, b, c) = Seq("c1", "c2", "c3", "c4").map(id).sorted.take(3)
     assert(oneBatch == Set((a, b), (a, c), (b, c)), s"$oneBatch")
+  }
+
+  test("DedupJob --stream: file-source micro-batches, state recovered across restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-streamjob").toFile.getAbsolutePath
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    def fam(tag: String, tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    val ta = fam("sj", -1); val tb = fam("oth", -1)
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+
+    // micro-batch 1: a 3-copy exact burst + one distinct doc
+    Seq(("a1", ta), ("a2", ta), ("a3", ta), ("b1", tb)).toDF("url", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val args = DedupJob.Args(input = in, output = out, checkpoint = Some(chk),
+      fromHtml = false, stream = true, triggerOnce = true)
+    val (v1, _, p1) = DedupJob.runStream(spark, args)
+    assert(v1 == 4 && p1 == 0, s"4 verdicts, no near-dup pairs yet: $v1/$p1")
+    // the default backend is RocksDB + changelog checkpointing — assert the
+    // provider actually ran (changelog files land under the state dirs) and
+    // that the session conf was restored after the drain
+    val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(chk))
+      .filter(p => p.toString.endsWith(".changelog")).count()
+    assert(changelogs > 0, "RocksDB changelog checkpointing must be in effect")
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")),
+      "session conf must be restored after --trigger-once drain")
+    val repA = Seq("a1", "a2", "a3").map(u => (id(u), u)).min._1
+    assert(spark.read.parquet(s"$out/bands").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(repA, id("b1")),
+      "only the first-seen rep + the distinct doc may band")
+
+    // micro-batch 2 lands; the job RESTARTS from its checkpoint (fresh
+    // queries, same state dirs): a4 must be flagged against batch-1 state,
+    // the near-dup variant must pair the batch-1 rep exactly once
+    Seq(("a4", ta), ("n1", fam("sj", 5))).toDF("url", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val (v2, _, p2) = DedupJob.runStream(spark, args)
+    assert(v2 == 6, s"cumulative verdicts after restart: $v2")
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Boolean]("is_dup"), r.getAs[String]("first_url")))).toMap
+    assert(verdicts("a4")._1, "late copy must be a dup of batch-1 state")
+    assert(Seq("a1", "a2", "a3").count(u => !verdicts(u)._1) == 1)
+    assert(!verdicts("n1")._1, "a near-dup variant is not an EXACT dup")
+    assert(p2 == 1, s"exactly one near-dup pair: $p2")
+    val pair = spark.read.parquet(s"$out/pairs").collect().map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"))).head
+    assert(pair == (math.min(repA, id("n1")), math.max(repA, id("n1"))),
+      s"variant pairs the batch-1 first-seen rep: $pair")
+    assert(spark.read.parquet(s"$out/bands").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(repA, id("b1"), id("n1")))
   }
 
   test("event-time window aggregation with watermark") {
