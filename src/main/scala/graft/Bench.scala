@@ -289,7 +289,7 @@ object Bench {
     // ---- headline operator queries on the driver-provided tables ----
     val headline = Seq("q_exact_dedup_groups", "q_token_count", "q_agg_rollup",
       "q_top_per_group", "q_argmax", "q_minhash_pairs", "q_minhash_clusters",
-      "q_ngram_jaccard", "q_ann_lsh", "q_simhash", "q_event_window")
+      "q_ngram_jaccard", "q_ann_lsh", "q_semdedup", "q_simhash", "q_event_window")
     def timeAll(spark0: SparkSession): Seq[(String, Double)] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>

@@ -16,6 +16,7 @@ import graft.kernel.GraftConfig
   *     [--stream]                    Structured-Streaming ingest (see runStream)
   *     [--trigger-once]              stream mode: drain available input, stop
   *     [--state-store rocksdb|hdfs]  stream state backend (default rocksdb)
+  *     [--max-files-per-trigger N]   stream micro-batch bound (0 = source default)
   *     [--text-only]                 trust the text column (skip extraction)
   *     [--jaccard-verify]            exact k-gram Jaccard after signature verify
   *     [--hot-band-prefilter]        two-phase heavy-hitter exclusion
@@ -59,7 +60,7 @@ object DedupJob {
       checkpoint: Option[String] = None, fromHtml: Boolean = true,
       incremental: Option[String] = None, compactEvery: Int = 16,
       stream: Boolean = false, triggerOnce: Boolean = false,
-      stateStore: String = "rocksdb",
+      stateStore: String = "rocksdb", maxFilesPerTrigger: Int = 0,
       opts: PipelineOptions = PipelineOptions())
 
   private[graft] def parse(argv: Array[String]): Args = {
@@ -75,6 +76,8 @@ object DedupJob {
         case "--stream" => a = a.copy(stream = true); i += 1
         case "--trigger-once" => a = a.copy(triggerOnce = true); i += 1
         case "--state-store" => a = a.copy(stateStore = argv(i + 1)); i += 2
+        case "--max-files-per-trigger" =>
+          a = a.copy(maxFilesPerTrigger = argv(i + 1).toInt); i += 2
         case "--text-only" => a = a.copy(fromHtml = false); i += 1
         case "--jaccard-verify" =>
           a = a.copy(opts = a.opts.copy(jaccardVerify = true)); i += 1
@@ -371,7 +374,13 @@ object DedupJob {
     }
     val pipe = new DedupPipeline(spark, cfg, a.opts)
     val schema = spark.read.parquet(a.input).schema
-    val raw = spark.readStream.schema(schema).parquet(a.input)
+    // --max-files-per-trigger bounds the micro-batch (honored by
+    // Trigger.AvailableNow too): a 10^12-doc backfill drains as many
+    // bounded state commits instead of one giant batch
+    val reader = spark.readStream.schema(schema)
+    val raw = (if (a.maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", a.maxFilesPerTrigger)
+      else reader).parquet(a.input)
     val docs = pipe.extractStage(raw, a.fromHtml)
 
     val trigger =

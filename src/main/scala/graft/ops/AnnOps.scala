@@ -194,7 +194,9 @@ object AnnOps {
       assigned.select(col("vec_id").as("doc_id"), lit(0).as("band_id"),
         col("cell").cast("long").as("band_hash")),
       cap = maxCell, bandMatchesRequired = 1)
-    val e = assigned.select(col("vec_id"), col("embedding"))
+    // verification only needs the raw vectors — don't re-run the assign
+    // UDFs on the join branches
+    val e = df.select(col("vec_id"), col("embedding"))
     val edges = cand
       .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
       .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
