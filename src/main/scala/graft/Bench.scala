@@ -198,12 +198,22 @@ object Bench {
   /** Record a pinned probe value as a quiet-reference candidate (max wins;
     * contended windows read LOW and are ignored by construction). Unpinned
     * fallback values are never recorded — they read systematically high by
-    * spreading over idle cores and would poison the reference.
+    * spreading over idle cores and would poison the reference. The guard
+    * re-reads the FILE (not the run-stable lazy `storedQuietK8`): with the
+    * stale value a later lower probe in the same run would overwrite the
+    * run's own best (last-wins-above-old-stored, not max-wins).
     */
   private def recordQuietObservation(k8: Double, pinned: Boolean): Unit =
-    if (pinned && k8 > math.max(storedQuietK8, 0.0)) {
-      try java.nio.file.Files.write(quietRefFile.toPath, f"$k8%.0f".getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+    if (pinned) {
+      try {
+        val current =
+          if (quietRefFile.exists())
+            new String(java.nio.file.Files.readAllBytes(quietRefFile.toPath),
+              "UTF-8").trim.toDouble
+          else 0.0
+        if (k8 > current)
+          java.nio.file.Files.write(quietRefFile.toPath, f"$k8%.0f".getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
     }
 
   private[graft] final case class Probe(
@@ -393,7 +403,10 @@ object Bench {
     // timed levels (the pre-run gate can't see a window turning mid-run)
     val post = contentionProbe()
     val allPinned = queriesPre.pinned && queriesPost.pinned && preDedup.pinned && post.pinned
-    val refSource = if (storedQuietK8 > QuietKernel8Floor) "learned" else "floor"
+    // "learned" only when the learned value actually EXCEEDS the floor
+    // after the 0.70 quiet-band shrink — i.e. when it is the effective ref
+    val refSource =
+      if (storedQuietK8 * 0.70 > QuietKernel8Floor) "learned" else "floor"
     val contention =
       f""""contention":{"factor_pre":${queriesPre.factor}%.2f,"factor_queries_pre":${queriesPre.factor}%.2f,"factor_queries_post":${queriesPost.factor}%.2f,"factor_pre_dedup":${preDedup.factor}%.2f,"factor_post":${post.factor}%.2f,"kernel8_probe_pre":${queriesPre.k8}%.0f,"membw32_probe_pre":${queriesPre.bw32}%.1f,"kernel8_probe_queries_post":${queriesPost.k8}%.0f,"membw32_probe_queries_post":${queriesPost.bw32}%.1f,"kernel8_probe_pre_dedup":${preDedup.k8}%.0f,"membw32_probe_pre_dedup":${preDedup.bw32}%.1f,"kernel8_probe_post":${post.k8}%.0f,"membw32_probe_post":${post.bw32}%.1f,"quiet_ref_kernel8":$quietRefK8%.0f,"quiet_ref_source":"$refSource","kernel_code_fingerprint":"$kernelCodeFingerprint","quiet_ref_membw32":$QuietBw32%.1f,"probe_mode":"${if (allPinned) "pinned" else "fallback_unpinned"}","queries_backoffs":$queriesPreBackoffs,"queries_rerun":$queriesRerun,"dedup_backoffs":$waits}"""
 

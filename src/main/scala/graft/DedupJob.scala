@@ -102,6 +102,8 @@ object DedupJob {
       "--stream and --incremental are mutually exclusive ingest modes")
     require(Set("rocksdb", "hdfs")(a.stateStore),
       s"--state-store must be rocksdb or hdfs, got: ${a.stateStore}")
+    require(a.compactEvery > 0,
+      s"--compact-every must be positive, got: ${a.compactEvery}")
     a
   }
 
@@ -134,6 +136,19 @@ object DedupJob {
   private[graft] val sigColNames = Seq("doc_id", "url", "n_tokens", "hashable",
     "exact_hash", "exact_hash2", "has_exact", "sig", "simhash")
   private[graft] val bandColNames = Seq("doc_id", "band_id", "band_hash")
+
+  /** The config identity a compacted base generation was built under — the
+    * same facts the ledger descriptors pin for the per-batch path
+    * (`MaintenanceOps.buildOrLoadDedupIndex`). Stored in the gen dir and
+    * REQUIRED to match at probe time: without this check a config/kernel
+    * change after a fold would silently probe new-kernel signatures against
+    * old-kernel base state (incomparable band hashes → near-zero pairs)
+    * because the gen short-circuit never consults the ledger.
+    */
+  private[graft] def stateStamp(cfg: GraftConfig, opts: PipelineOptions): String =
+    s"kernel=${graft.pipeline.DocSig.kernelFingerprint(cfg)}," +
+      s"cfg=${cfg.configHash},sh=${opts.simHashChannel}," +
+      s"shmax=${opts.simHashMaxHamming},sigv=2,bandsv=2"
 
   def runIncremental(spark: SparkSession, a: Args,
       cfg: GraftConfig = GraftConfig.default): (Long, Long) = {
@@ -172,6 +187,22 @@ object DedupJob {
     val gen = latestGen(fs, chk, sv)
     val (baseSigs, baseBands, foldedIds) = gen match {
       case Some((g, folded)) =>
+        // the gen short-circuit never consults the ledger — enforce the
+        // config identity the generation was folded under here instead
+        val stampPath = new org.apache.hadoop.fs.Path(
+          s"$chk/inc_base/$sv/gen=$g/stamp")
+        val stored =
+          if (!fs.exists(stampPath)) "(missing stamp — pre-stamp state)"
+          else {
+            val in = fs.open(stampPath)
+            try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+          }
+        val cur = stateStamp(cfg, a.opts)
+        require(stored == cur,
+          s"compacted incremental state gen=$g was built under a different " +
+            s"config/kernel (stored: $stored; current: $cur) — signatures " +
+            "are incomparable; rebuild the state (fresh --checkpoint) or " +
+            "restore the original config")
         (spark.read.parquet(s"$chk/inc_base/$sv/gen=$g/sigs"),
           spark.read.parquet(s"$chk/inc_base/$sv/gen=$g/bands"), folded)
       case None =>
@@ -235,7 +266,8 @@ object DedupJob {
     val unfoldedAfter = if (newlyCommitted) unfolded :+ batchId else unfolded
     if (unfoldedAfter.size >= a.compactEvery)
       compactIncrementalState(spark, chk, baseSigs, baseBands,
-        gen.map(_._1).getOrElse(0), foldedIds, unfoldedAfter)
+        gen.map(_._1).getOrElse(0), foldedIds, unfoldedAfter,
+        stateStamp(cfg, a.opts))
     (pairCount, freshCount)
   }
 
@@ -280,7 +312,8 @@ object DedupJob {
   private[graft] def compactIncrementalState(spark: SparkSession, chk: String,
       baseSigs: org.apache.spark.sql.DataFrame,
       baseBands: org.apache.spark.sql.DataFrame,
-      curGen: Int, alreadyFolded: Set[String], foldIds: Seq[String]): Unit = {
+      curGen: Int, alreadyFolded: Set[String], foldIds: Seq[String],
+      stamp: String): Unit = {
     import org.apache.spark.sql.functions.col
     val sv = s"v${DedupJob.IncStateVersion}"
     val fs = new org.apache.hadoop.fs.Path(chk)
@@ -301,12 +334,23 @@ object DedupJob {
     sigs2.write.mode("overwrite").parquet(s"$chk/inc_base/$sv/gen=$g2/sigs")
     bands2.repartition(n, col("band_id"), col("band_hash"))
       .write.mode("overwrite").parquet(s"$chk/inc_base/$sv/gen=$g2/bands")
+    val stampOut = fs.create(new org.apache.hadoop.fs.Path(
+      s"$chk/inc_base/$sv/gen=$g2/stamp"), true)
+    try stampOut.write(stamp.getBytes("UTF-8")) finally stampOut.close()
+    // the marker's CORRECTNESS depends on its content (the folded-id list),
+    // unlike the empty per-batch markers whose existence alone commits —
+    // write to a temp name and rename so a crash mid-write cannot leave a
+    // truncated list that double-counts folded batches (latestGen ignores
+    // non-integer names, so the temp file is invisible)
     val marker = new org.apache.hadoop.fs.Path(s"$chk/inc_base_commits/$sv/$g2")
+    val tmp = new org.apache.hadoop.fs.Path(s"$chk/inc_base_commits/$sv/$g2.tmp")
     fs.mkdirs(marker.getParent)
-    val out = fs.create(marker, true)
+    val out = fs.create(tmp, true)
     try out.write((alreadyFolded ++ foldIds).toSeq.sorted.mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(s"could not commit gen marker $marker")
     // best-effort cleanup: markers in inc_commits stay (they are how a
     // re-sent identical batch is recognized); only the bulky delta parquet
     // dirs go
@@ -318,22 +362,34 @@ object DedupJob {
   /** STREAMING ingest mode (`--stream`, requires `--checkpoint`): `--input`
     * is watched as a parquet FILE STREAM (new files = new micro-batches —
     * the crawl-drop ingest shape; the schema is taken from the files
-    * already present). Three Structured-Streaming queries run off the one
-    * source, each with its own checkpoint subdir and recoverable state:
+    * already present). The queries form a SIGN-ONCE CASCADE — each with
+    * its own checkpoint subdir and recoverable state:
     *
-    *   - `<output>/verdicts`: per-doc exact-dup verdicts
-    *     (`exactDedupStream` — url, doc_id, is_dup, first_url)
-    *   - `<output>/bands`: rolling band-index postings, FIRST-SEEN reps
-    *     only (`bandPostingsStreamDeduped` — a duplicate burst appends one
-    *     doc's postings, the batch V7 semantics)
-    *   - `<output>/pairs`: at-most-once near-dup pairs over first-seen
-    *     content (`nearDupPairsDistinct(firstSeenOnly = true)`)
+    *   - HEAD `<output>/verdicts`: every doc's full signature annotated
+    *     with its exact-dup verdict and first-seen flag
+    *     (`sigVerdictStream` — ONE signing pass, ONE first-seen election)
+    *   - TAIL `<output>/bands`: band-index postings for first-seen reps,
+    *     read from the verdicts SINK as a stream (no re-signing; a
+    *     duplicate burst appends one doc's postings, the batch V7
+    *     semantics)
+    *   - TAIL `<output>/pairs`: at-most-once near-dup pairs over the same
+    *     first-seen rows
+    *
+    * Because both tails consume the head's sink, every output references
+    * the SAME elected representative per content — running the three
+    * per-surface streams side by side instead would sign every doc once
+    * per query and keep three independent first-seen states whose
+    * micro-batch boundaries could elect different reps after a mid-drain
+    * restart.
     *
     * `--trigger-once` processes everything available and stops
     * (Trigger.AvailableNow — the cron-shaped deployment and the testable
-    * path); without it the queries run continuously. A killed job restarts
-    * from the checkpoint with all state recovered — re-sent content stays
-    * deduped across restarts (asserted by test).
+    * path); the cascade then runs head-to-completion before the tails
+    * start (AvailableNow snapshots available sink files at query start).
+    * Without it all queries run continuously and the tails lag the head
+    * by one trigger. A killed job restarts from the checkpoint with all
+    * state recovered — re-sent content stays deduped across restarts
+    * (asserted by test).
     *
     * Scale: state is bounded by DISTINCT content (first-seen rows) and the
     * rep-only band table (≤ cap residents/key), not by stream length; all
@@ -392,18 +448,51 @@ object DedupJob {
         .option("checkpointLocation", s"$chk/stream/$name")
         .trigger(trigger).queryName(s"graft-stream-$name").start()
 
-    val queries = Seq(
-      start(StreamingIndex.exactDedupStream(spark, docs, cfg).toDF(), "verdicts"),
-      start(StreamingIndex.bandPostingsStreamDeduped(spark, docs, cfg,
-        a.opts.simHashChannel, a.opts.simHashMaxHamming), "bands"),
-      start(StreamingIndex.nearDupPairsDistinct(spark, docs, cfg,
-        cap = a.opts.maxBandGroupSize, firstSeenOnly = true), "pairs"))
+    import org.apache.spark.sql.functions.col
+    val head = StreamingIndex.sigVerdictStream(spark, docs, cfg).toDF()
+    def repsSource(): org.apache.spark.sql.DataFrame = {
+      // the tail sources list the head's sink dir — ensure it exists
+      // before the first start (continuous mode starts all at once)
+      val p = new org.apache.hadoop.fs.Path(s"${a.output}/verdicts")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[StreamingIndex.SigVerdict].schema)
+        .parquet(s"${a.output}/verdicts")
+        .where(col("first_seen") && col("hashable"))
+    }
+    def startTails(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+      val reps = repsSource()
+      Seq(
+        start(StreamingIndex.bandPostingsFromSignedStream(spark, reps, cfg,
+          a.opts.simHashChannel, a.opts.simHashMaxHamming), "bands"),
+        start(StreamingIndex.nearDupPairsDistinctFromSignedStream(spark, reps,
+          cfg, cap = a.opts.maxBandGroupSize), "pairs"))
+    }
     if (a.triggerOnce) {
-      try queries.foreach(_.awaitTermination()) finally restoreConf()
+      try {
+        start(head, "verdicts").awaitTermination()
+        startTails().foreach(_.awaitTermination())
+      } finally restoreConf()
+      // a sink can legitimately be absent/empty (zero rows of that kind
+      // appended → AnalysisException on read); any OTHER failure is a real
+      // error and propagates instead of masquerading as an empty drain
       def n(sub: String) =
-        try spark.read.parquet(s"${a.output}/$sub").count() catch { case _: Throwable => 0L }
+        try spark.read.parquet(s"${a.output}/$sub").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       (n("verdicts"), n("bands"), n("pairs"))
     } else {
+      // a failure starting a later query must not leak the already-running
+      // ones (or the provider conf) on a shared session
+      val started = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.streaming.StreamingQuery]
+      try {
+        started += start(head, "verdicts")
+        started ++= startTails()
+      } catch { case scala.util.control.NonFatal(e) =>
+        started.foreach(q => try q.stop() catch { case _: Exception => })
+        restoreConf()
+        throw e
+      }
       spark.streams.awaitAnyTermination()
       (-1L, -1L, -1L)
     }

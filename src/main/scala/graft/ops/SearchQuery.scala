@@ -92,8 +92,13 @@ object SearchQuery {
           // (bare() stops at the quote, so rest is empty here)
           val quotedAtColon = rest.isEmpty && !eof && (peek == '"' || peek == '\'')
           if (quotedAtColon) rest = quoted()
+          // reference grammar: the operator is matched OUTSIDE the quote
+          // (condition_compare = ":" + operator + search_term), so operator
+          // characters INSIDE a quoted value are literal — f:"<=x" is
+          // Cond(f, "=", "<=x"), not Cond(f, "<=", "x")
           var (op, v) =
-            if (rest.startsWith("<=")) ("<=", rest.drop(2))
+            if (quotedAtColon) ("=", rest)
+            else if (rest.startsWith("<=")) ("<=", rest.drop(2))
             else if (rest.startsWith(">=")) (">=", rest.drop(2))
             else if (rest.startsWith("!?")) ("!?", rest.drop(2))
             else if (rest.startsWith("!=")) ("!=", rest.drop(2))

@@ -252,6 +252,10 @@ object StreamingIndex {
       ttl: Option[String] = None, firstSeenOnly: Boolean = false): DataFrame = {
     val pairs = (if (firstSeenOnly) nearDupPairsStreamDeduped(spark, docs, cfg, cap)
       else nearDupPairsStream(spark, docs, cfg, cap)).toDF()
+    distinctPairs(pairs, ttl)
+  }
+
+  private def distinctPairs(pairs: DataFrame, ttl: Option[String]): DataFrame =
     ttl match {
       case Some(d) => pairs
         .withColumn("emit_ts", current_timestamp())
@@ -259,7 +263,89 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("a", "b")
       case None => pairs.dropDuplicates("a", "b")
     }
+
+  /** One row per streamed doc from the sign-once cascade head
+    * (`sigVerdictStream`): the FULL signature plus the exact-dup verdict
+    * and the first-arrival flag. `first_seen` is true exactly once per
+    * distinct content (the state-creating arrival — re-delivery of the
+    * representative itself is is_dup=false but NOT first_seen) and always
+    * true for docs without an exact identity (stateless pass-through).
+    */
+  final case class SigVerdict(doc_id: Long, url: String, n_tokens: Int,
+      hashable: Boolean, exact_hash: Long, exact_hash2: Long,
+      has_exact: Boolean, sig: Array[Byte], simhash: Long,
+      is_dup: Boolean, first_url: String, first_seen: Boolean)
+
+  /** The sign-once cascade HEAD: one signing pass + ONE stateful operator
+    * annotate every doc with its exact-dup verdict and first-seen flag.
+    * Downstream band/pair stages consume this stream's SINK (parquet read
+    * back as a stream) instead of re-signing — the composed production
+    * shape (`DedupJob.runStream`). This fixes two costs of running the
+    * three per-surface streams side by side: (a) each per-surface query
+    * signs every doc again (signing is the dominant per-doc CPU), and
+    * (b) each keeps an INDEPENDENT first-seen state whose micro-batch
+    * boundaries can elect different representatives for the same content
+    * after a mid-drain restart — here the election happens exactly once
+    * and every consumer sees the same representative by construction.
+    *
+    * Docs without an exact identity flow through the same grouped pass
+    * under a per-doc key whose state is never written (no state row), so
+    * the single pass costs one shuffle on the state key and state stays
+    * ∝ distinct exact content.
+    */
+  def sigVerdictStream(spark: SparkSession, docs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default): Dataset[SigVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    signatureStream(spark, docs, cfg)
+      .groupByKey(d =>
+        if (d.has_exact) (d.exact_hash, d.exact_hash2, true)
+        else (d.doc_id, graft.hash.SimHash.hash64(d.url), false))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (Long, Long, Boolean), rows: Iterator[DocSig],
+            state: GroupState[FirstSeen]) => {
+          def out(d: DocSig, dup: Boolean, firstUrl: String, firstSeen: Boolean) =
+            SigVerdict(d.doc_id, d.url, d.n_tokens, d.hashable, d.exact_hash,
+              d.exact_hash2, d.has_exact, d.sig, d.simhash, dup, firstUrl,
+              firstSeen)
+          if (!key._3) rows.map(d => out(d, dup = false, d.url, firstSeen = true))
+          else {
+            val res = scala.collection.mutable.ArrayBuffer.empty[SigVerdict]
+            // deterministic within a batch: first-seen = min (doc_id, url)
+            val batch = rows.toArray.sortBy(d => (d.doc_id, d.url))
+            var first = state.getOption
+            batch.foreach { d =>
+              first match {
+                case None =>
+                  first = Some(FirstSeen(d.url, d.doc_id))
+                  res += out(d, dup = false, d.url, firstSeen = true)
+                case Some(f) =>
+                  res += out(d, dup = !(f.doc_id == d.doc_id && f.url == d.url),
+                    f.url, firstSeen = false)
+              }
+            }
+            first.foreach(state.update)
+            res.iterator
+          }
+        })
   }
+
+  /** Cascade TAIL: band postings over an ALREADY-SIGNED stream (the
+    * `sigVerdictStream` sink read back as a stream, pre-filtered to
+    * first-seen rows by the caller) — no re-signing, stateless projection.
+    */
+  def bandPostingsFromSignedStream(spark: SparkSession, sigs: DataFrame,
+      cfg: GraftConfig = GraftConfig.default,
+      simHashChannel: Boolean = true, simHashMaxHamming: Int = 2): DataFrame =
+    bandPostingsFromSigs(spark, sigs, cfg, simHashChannel, simHashMaxHamming)
+
+  /** Cascade TAIL: at-most-once near-dup pairs over an ALREADY-SIGNED
+    * stream (caller pre-filters to first-seen rows) — no re-signing.
+    */
+  def nearDupPairsDistinctFromSignedStream(spark: SparkSession,
+      sigs: DataFrame, cfg: GraftConfig = GraftConfig.default,
+      cap: Int = 500, ttl: Option[String] = None): DataFrame =
+    distinctPairs(nearDupPairsFromSigs(spark, sigs, cfg, cap).toDF(), ttl)
 
   /** One output row per streamed doc: is it an exact duplicate of anything
     * seen earlier on the stream? */

@@ -76,6 +76,11 @@ class SearchQuerySpec extends SparkTestBase {
     // an EMPTY quoted value after the plain colon must not swallow a
     // following quoted term as its own value
     assert(parse("f:\"\" 'x y'") == And(List(Cond("f", "=", ""), Term("x y"))))
+    // operator characters INSIDE a quoted value are literal (reference
+    // grammar matches the operator before the quote): f:"<=x" is an
+    // equality on the literal string "<=x"
+    assert(parse("f:\"<=x\"") == Cond("f", "=", "<=x"))
+    assert(parse("f:'!=a b'") == Cond("f", "=", "!=a b"))
   }
 
   test("conditional-field expansion and id/hex fast-paths") {
@@ -705,6 +710,44 @@ class StreamingSpec extends SparkTestBase {
     // pairs); the 4th emits nothing
     val Seq(a, b, c) = Seq("c1", "c2", "c3", "c4").map(id).sorted.take(3)
     assert(oneBatch == Set((a, b), (a, c), (b, c)), s"$oneBatch")
+  }
+
+  test("sigVerdictStream: one election serves verdicts and first-seen, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val sv = graft.streaming.StreamingIndex.sigVerdictStream(
+      spark, mem.toDF().toDF("url", "text"))
+    val q = sv.toDF().writeStream.format("memory").queryName("sigverdicts")
+      .outputMode("append").start()
+    def fam(tag: String): String =
+      (1 to 40).map(w => s"$tag${('a' + w % 26).toChar}$w").mkString(" ")
+    // batch 1: 3-copy burst + a distinct doc + an EMPTY doc (no exact id)
+    mem.addData(("c1", fam("sv")), ("c2", fam("sv")), ("c3", fam("sv")),
+      ("d1", fam("oo")), ("e1", ""))
+    q.processAllAvailable()
+    // batch 2: late copy + re-delivery of the representative itself
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    val repUrl = Seq("c1", "c2", "c3").map(u => (id(u), u)).min._2
+    mem.addData(("c4", fam("sv")), ((repUrl, fam("sv"))))
+    q.processAllAvailable()
+    val rows = spark.sql("select url, is_dup, first_url, first_seen, has_exact " +
+      "from sigverdicts").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    q.stop()
+    val byUrl = rows.groupBy(_._1)
+    // exactly ONE first_seen row per distinct exact content
+    assert(rows.count(r => r._4 && r._5) == 2, s"$rows")
+    assert(byUrl(repUrl).exists(r => !r._2 && r._4), "rep: non-dup, first_seen")
+    // re-delivered rep: still non-dup but NOT first_seen (no re-banding)
+    assert(byUrl(repUrl).exists(r => !r._2 && !r._4), "re-delivered rep row")
+    assert(byUrl("c4").forall(r => r._2 && r._3 == repUrl && !r._4),
+      "late copy is a dup of the batch-1 rep")
+    // docs without an exact identity pass through as first-seen non-dups
+    assert(byUrl("e1").forall(r => !r._2 && r._4 && !r._5), s"${byUrl("e1")}")
+    // exactly one FIRST-SEEN non-dup among the burst (the re-delivered rep
+    // is also non-dup but carries first_seen=false, counted above)
+    assert(Seq("c1", "c2", "c3").flatMap(byUrl(_)).count(r => !r._2 && r._4) == 1)
   }
 
   test("DedupJob --stream: file-source micro-batches, state recovered across restart") {

@@ -378,6 +378,13 @@ class DedupJobSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { // incremental without checkpoint
       graft.DedupJob.parse(Array("--input", "i", "--output", "o", "--incremental", "b"))
     }
+    intercept[IllegalArgumentException] { // zero would fold on every batch
+      graft.DedupJob.parse(Array("--input", "i", "--output", "o",
+        "--checkpoint", "c", "--incremental", "b", "--compact-every", "0"))
+    }
+    intercept[IllegalArgumentException] { // stream needs a checkpoint
+      graft.DedupJob.parse(Array("--input", "i", "--output", "o", "--stream"))
+    }
   }
 
   test("rolling incremental mode: probe-only batches track the full-batch answer") {
@@ -571,6 +578,25 @@ class DedupJobSpec extends SparkTestBase {
     val (p2b, fresh2b) = graft.DedupJob.runIncremental(spark, argsFor("cc", 2, 2))
     assert(fresh2b == 0 && p2b == 0, "re-sent folded batch must be a no-op")
     assert(deltaDirs("cc").size == 1, "re-send must not write new deltas")
+
+    // a crashed fold's temp marker (non-integer name, possibly truncated
+    // content) must be invisible to latestGen — only the renamed final
+    // marker commits a generation
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$tmp/cc/inc_base_commits/$sv/3.tmp"), "gar")
+    val (p5b, fresh5b) = graft.DedupJob.runIncremental(spark, argsFor("cc", 5, 2))
+    assert(fresh5b == 0 && p5b == 0, "tmp marker must not change state reads")
+
+    // a config/kernel change after a fold must fail LOUDLY (the gen
+    // short-circuit never consults the ledger; without the stamp check it
+    // would silently probe incomparable signatures)
+    val badArgs = argsFor("cc", 5, 2).copy(
+      opts = graft.pipeline.PipelineOptions(simHashMaxHamming = 3))
+    val e = intercept[IllegalArgumentException] {
+      graft.DedupJob.runIncremental(spark, badArgs)
+    }
+    assert(e.getMessage.contains("different config"),
+      s"stamp mismatch must name the cause: ${e.getMessage}")
   }
 }
 
