@@ -17,6 +17,7 @@ import graft.kernel.GraftConfig
   *     [--trigger-once]              stream mode: drain available input, stop
   *     [--state-store rocksdb|hdfs]  stream state backend (default rocksdb)
   *     [--max-files-per-trigger N]   stream micro-batch bound (0 = source default)
+  *     [--trigger-interval D]        continuous-mode trigger (default "30 seconds")
   *     [--text-only]                 trust the text column (skip extraction)
   *     [--jaccard-verify]            exact k-gram Jaccard after signature verify
   *     [--hot-band-prefilter]        two-phase heavy-hitter exclusion
@@ -61,6 +62,7 @@ object DedupJob {
       incremental: Option[String] = None, compactEvery: Int = 16,
       stream: Boolean = false, triggerOnce: Boolean = false,
       stateStore: String = "rocksdb", maxFilesPerTrigger: Int = 0,
+      triggerInterval: String = "30 seconds",
       opts: PipelineOptions = PipelineOptions())
 
   private[graft] def parse(argv: Array[String]): Args = {
@@ -78,6 +80,8 @@ object DedupJob {
         case "--state-store" => a = a.copy(stateStore = argv(i + 1)); i += 2
         case "--max-files-per-trigger" =>
           a = a.copy(maxFilesPerTrigger = argv(i + 1).toInt); i += 2
+        case "--trigger-interval" =>
+          a = a.copy(triggerInterval = argv(i + 1)); i += 2
         case "--text-only" => a = a.copy(fromHtml = false); i += 1
         case "--jaccard-verify" =>
           a = a.copy(opts = a.opts.copy(jaccardVerify = true)); i += 1
@@ -92,7 +96,8 @@ object DedupJob {
     require(a.input != null && a.output != null,
       "usage: DedupJob --input <parquet> --output <dir> [--checkpoint <dir>] " +
         "[--incremental <parquet>] [--compact-every N] [--stream] " +
-        "[--trigger-once] [--state-store rocksdb|hdfs] [--text-only] " +
+        "[--trigger-once] [--state-store rocksdb|hdfs] " +
+        "[--max-files-per-trigger N] [--trigger-interval D] [--text-only] " +
         "[--jaccard-verify] [--hot-band-prefilter] [--max-band-group N]")
     require(a.incremental.isEmpty || a.checkpoint.nonEmpty,
       "--incremental requires --checkpoint (the persisted index lives there)")
@@ -441,7 +446,7 @@ object DedupJob {
 
     val trigger =
       if (a.triggerOnce) org.apache.spark.sql.streaming.Trigger.AvailableNow()
-      else org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds")
+      else org.apache.spark.sql.streaming.Trigger.ProcessingTime(a.triggerInterval)
     def start(df: org.apache.spark.sql.DataFrame, name: String) =
       df.writeStream.format("parquet").outputMode("append")
         .option("path", s"${a.output}/$name")
@@ -493,7 +498,9 @@ object DedupJob {
         restoreConf()
         throw e
       }
-      spark.streams.awaitAnyTermination()
+      // returns when any query stops/fails; the provider conf is pinned in
+      // the running checkpoints, so restoring the session conf here is safe
+      try spark.streams.awaitAnyTermination() finally restoreConf()
       (-1L, -1L, -1L)
     }
   }

@@ -15,6 +15,11 @@ object PlanDump {
     val pipe = new DedupPipeline(spark)
     println("==== signatureStage (incl. S1 url-dedup) ====")
     pipe.signatureStage(docs).toDF().explain("formatted")
+    if (args.contains("semdedup")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      println("==== semDedup ====")
+      graft.ops.AnnOps.semDedup(emb, eps = 0.6).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -802,6 +802,53 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet == Set(repA, id("b1"), id("n1")))
   }
 
+  test("DedupJob --stream continuous: tails follow the head across live drops") {
+    val root = java.nio.file.Files.createTempDirectory("graft-streamcont").toFile.getAbsolutePath
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    def fam(tag: String, tweakAt: Int): String =
+      (1 to 40).map(w => if (w == tweakAt) "tweaked" else s"$tag${('a' + w % 26).toChar}$w")
+        .mkString(" ")
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    Seq(("a1", fam("ct", -1)), ("a2", fam("ct", -1)), ("b1", fam("zz", -1)))
+      .toDF("url", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val args = DedupJob.Args(input = in, output = out, checkpoint = Some(chk),
+      fromHtml = false, stream = true, triggerOnce = false,
+      triggerInterval = "1 second")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val job = Future(DedupJob.runStream(spark, args))
+    def cnt(sub: String): Long =
+      try spark.read.parquet(s"$out/$sub").count() catch { case _: Throwable => 0L }
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val t0 = System.nanoTime()
+      while (!cond) {
+        assert((System.nanoTime() - t0) / 1e9 < 120, s"timeout waiting for $what")
+        Thread.sleep(500)
+      }
+    }
+    try {
+      waitFor("batch-1 verdicts")(cnt("verdicts") >= 3)
+      waitFor("batch-1 bands")(cnt("bands") > 0)
+      // a near-dup variant lands WHILE the job runs — the head verdicts it,
+      // the pairs tail must pair it with the running job's first-seen rep
+      Seq(("n1", fam("ct", 5))).toDF("url", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      waitFor("cross-drop near-dup pair")(cnt("pairs") >= 1)
+    } finally {
+      spark.streams.active
+        .filter(q => q.name != null && q.name.startsWith("graft-stream-"))
+        .foreach(_.stop())
+    }
+    assert(Await.result(job, scala.concurrent.duration.Duration(60, "s")) ==
+      ((-1L, -1L, -1L)))
+    val repA = Seq("a1", "a2").map(u => (id(u), u)).min._1
+    val pair = spark.read.parquet(s"$out/pairs").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).head
+    assert(pair == (math.min(repA, id("n1")), math.max(repA, id("n1"))),
+      s"live drop pairs the running job's first-seen rep: $pair")
+  }
+
   test("event-time window aggregation with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
