@@ -11,9 +11,9 @@ import graft.DedupJob
   *
   *   1. BACKFILL: every corpus part-file is already present when the job
   *      starts; one Trigger.AvailableNow drain processes the whole corpus
-  *      through all three streaming queries (exact verdicts, first-seen
-  *      band postings, distinct near-dup pairs). Reported docs/sec is the
-  *      cold end-to-end streaming throughput, state written from scratch.
+  *      through the sign-once cascade (sig+verdict head, then band and
+  *      pair tails off the head's sink). Reported docs/sec is the cold
+  *      end-to-end streaming throughput, state written from scratch.
   *   2. DROP: with the backfill checkpoint in place, one new crawl-drop
   *      file lands and the job re-drains — the steady-state incremental
   *      shape. Reported seconds are the per-drop latency against the
