@@ -299,7 +299,8 @@ object Bench {
     // ---- headline operator queries on the driver-provided tables ----
     val headline = Seq("q_exact_dedup_groups", "q_token_count", "q_agg_rollup",
       "q_top_per_group", "q_argmax", "q_minhash_pairs", "q_minhash_clusters",
-      "q_ngram_jaccard", "q_ann_lsh", "q_semdedup", "q_simhash", "q_event_window")
+      "q_ngram_jaccard", "q_ann_lsh", "q_semdedup", "q_simhash", "q_event_window",
+      "q_para_dedup", "q_gopher_quality")
     def timeAll(spark0: SparkSession): Seq[(String, Double)] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>

@@ -18,6 +18,7 @@ import graft.kernel.GraftConfig
   *     [--state-store rocksdb|hdfs]  stream state backend (default rocksdb)
   *     [--max-files-per-trigger N]   stream micro-batch bound (0 = source default)
   *     [--trigger-interval D]        continuous-mode trigger (default "30 seconds")
+  *     [--rewrite paragraphs|spans]  corpus REWRITE mode (see runRewrite)
   *     [--text-only]                 trust the text column (skip extraction)
   *     [--jaccard-verify]            exact k-gram Jaccard after signature verify
   *     [--hot-band-prefilter]        two-phase heavy-hitter exclusion
@@ -63,6 +64,7 @@ object DedupJob {
       stream: Boolean = false, triggerOnce: Boolean = false,
       stateStore: String = "rocksdb", maxFilesPerTrigger: Int = 0,
       triggerInterval: String = "30 seconds",
+      rewrite: Option[String] = None,
       opts: PipelineOptions = PipelineOptions())
 
   private[graft] def parse(argv: Array[String]): Args = {
@@ -82,6 +84,7 @@ object DedupJob {
           a = a.copy(maxFilesPerTrigger = argv(i + 1).toInt); i += 2
         case "--trigger-interval" =>
           a = a.copy(triggerInterval = argv(i + 1)); i += 2
+        case "--rewrite" => a = a.copy(rewrite = Some(argv(i + 1))); i += 2
         case "--text-only" => a = a.copy(fromHtml = false); i += 1
         case "--jaccard-verify" =>
           a = a.copy(opts = a.opts.copy(jaccardVerify = true)); i += 1
@@ -97,8 +100,13 @@ object DedupJob {
       "usage: DedupJob --input <parquet> --output <dir> [--checkpoint <dir>] " +
         "[--incremental <parquet>] [--compact-every N] [--stream] " +
         "[--trigger-once] [--state-store rocksdb|hdfs] " +
-        "[--max-files-per-trigger N] [--trigger-interval D] [--text-only] " +
+        "[--max-files-per-trigger N] [--trigger-interval D] " +
+        "[--rewrite paragraphs|spans] [--text-only] " +
         "[--jaccard-verify] [--hot-band-prefilter] [--max-band-group N]")
+    require(a.rewrite.forall(Set("paragraphs", "spans")),
+      s"--rewrite must be paragraphs or spans, got: ${a.rewrite.orNull}")
+    require(a.rewrite.isEmpty || (!a.stream && a.incremental.isEmpty),
+      "--rewrite is a standalone corpus-rewrite mode (no --stream/--incremental)")
     require(a.incremental.isEmpty || a.checkpoint.nonEmpty,
       "--incremental requires --checkpoint (the persisted index lives there)")
     require(!a.stream || a.checkpoint.nonEmpty,
@@ -110,6 +118,56 @@ object DedupJob {
     require(a.compactEvery > 0,
       s"--compact-every must be positive, got: ${a.compactEvery}")
     a
+  }
+
+  /** Corpus REWRITE mode (`--rewrite paragraphs|spans`): reads the same
+    * input shape as the dedup job, collapses re-crawled urls to their
+    * first-crawled text, assigns dense doc ids in (warc_ts, url) order —
+    * so "first occurrence keeps" means the earliest crawl — and writes the
+    * rewritten corpus:
+    *   paragraphs → `DedupOps.paragraphDedup`  (url, text, n_kept, n_paras)
+    *   spans      → `SpanDedup.removeDuplicateSpans` (url, text, n_tokens, n_removed)
+    * Returns (docs written, docs actually rewritten).
+    */
+  def runRewrite(spark: SparkSession, a: Args,
+      cfg: GraftConfig = GraftConfig.default): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val input = spark.read.parquet(a.input)
+    val withText =
+      if (a.fromHtml) {
+        val ex = udf((h: Array[Byte]) => graft.kernel.TextNorm.extract(h))
+        input.withColumn("text", ex(col("html")))
+      } else input
+    val ord =
+      if (withText.columns.contains("warc_ts"))
+        concat(coalesce(date_format(col("warc_ts"), "yyyyMMddHHmmssSSS"), lit("")), col("url"))
+      else col("url")
+    // S1 url collapse first — a re-crawl of the same page must not
+    // tombstone its own paragraphs/spans as "later copies"
+    val docs0 = withText.select(col("url"), ord.as("ord"), col("text"))
+      .groupBy("url").agg(min(struct(col("ord"), col("text"))).as("f"))
+      .select(col("url"), col("f.ord").as("ord"), col("f.text").as("text"))
+    val docs = graft.ops.ExportImport.compactIds(docs0, "ord", "doc_id")
+      .select(col("doc_id"), col("url"), col("text"))
+    val urls = docs.select("doc_id", "url")
+    val out = a.rewrite.get match {
+      case "paragraphs" =>
+        graft.ops.DedupOps.paragraphDedup(docs)
+          .join(urls, "doc_id")
+          .select(col("url"), col("text_dedup").as("text"),
+            col("n_kept"), col("n_paras"))
+      case "spans" =>
+        graft.substring.SpanDedup.removeDuplicateSpans(spark, docs)
+          .join(urls, "doc_id")
+          .select(col("url"), col("text_clean").as("text"),
+            col("n_tokens"), col("n_removed"))
+    }
+    out.write.mode("overwrite").parquet(a.output)
+    val written = spark.read.parquet(a.output)
+    val rewritten =
+      if (a.rewrite.get == "paragraphs") written.where(col("n_kept") < col("n_paras"))
+      else written.where(col("n_removed") > 0)
+    (written.count(), rewritten.count())
   }
 
   def run(spark: SparkSession, a: Args,
@@ -509,7 +567,10 @@ object DedupJob {
     val a = parse(argv)
     val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
     try {
-      if (a.stream) {
+      if (a.rewrite.nonEmpty) {
+        val (docs, rewritten) = runRewrite(spark, a)
+        println(s"DEDUP_REWRITE_DONE mode=${a.rewrite.get} docs=$docs rewritten=$rewritten output=${a.output}")
+      } else if (a.stream) {
         val (verdicts, bands, pairs) = runStream(spark, a)
         println(s"DEDUP_STREAM_DONE verdicts=$verdicts band_postings=$bands pairs=$pairs output=${a.output}")
       } else a.incremental match {

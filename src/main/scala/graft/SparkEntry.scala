@@ -55,6 +55,34 @@ object SparkEntry {
       (pmod(col("l_partkey") + col("l_orderkey"), lit(51)) === 50).as("is_pichash"),
       lit(true).as("is_minhash"))
 
+  /** Multi-paragraph corpus derived from `documents`: 5 consecutive docs
+    * joined with a blank line (the paragraph separator), keyed by
+    * doc_id / 5. The synthetic docs are single-paragraph, so this is the
+    * deterministic way to exercise paragraph-level ops at driver level —
+    * and doc-level exact dups become cross-document duplicate paragraphs.
+    */
+  private def paraDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("gid", (col("doc_id") / 5).cast("long"))
+      .groupBy("gid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")),
+        "\n\n").as("text"))
+      .select(col("gid").as("doc_id"), col("text"))
+
+  /** The same derivation as DuckDB SQL (shared CTE prefix). */
+  private val ParaDocsCte =
+    "WITH gd AS (SELECT doc_id // 5 AS doc_id, " +
+      "string_agg(text, e'\\n\\n' ORDER BY doc_id) AS text FROM documents GROUP BY 1), " +
+      raw"px AS (SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS p, " +
+      raw"generate_subscripts(string_split_regex(text, '\n{2,}'), 1) AS i FROM gd), " +
+      "paras AS (SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, p, " +
+      raw"md5(regexp_replace(lower(trim(p)), '\s+', ' ', 'g')) AS ph " +
+      "FROM px WHERE length(trim(p)) > 0), " +
+      "ranked AS (SELECT doc_id, para_idx, p, " +
+      "row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_idx) AS rn FROM paras)"
+
   /** The same derivation as DuckDB SQL (shared CTE prefix). */
   private val MatchesCte =
     "WITH m AS (SELECT 0 AS sample_id, CAST(l_partkey AS BIGINT) AS function_id, " +
@@ -97,6 +125,16 @@ object SparkEntry {
     "q_subword" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "q_langid" -> ((s, dir) => TextOps.withLangId(docs(s, dir)).select("doc_id", "lang_pred")),
+    "q_gopher_quality" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
+    // canonical-URL key over urls synthesized deterministically from doc_id
+    // (documents carries no url column); the oracle states the EXPECTED
+    // canonical form directly — an independent derivation, not a regex mirror
+    "q_url_canon" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      TextOps.canonicalUrl(concat(
+        lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".COM:443/Path/"), col("doc_id").cast("string"),
+        lit("//?utm_source=x&id="), col("doc_id").cast("string"),
+        lit("&fbclid=Abc123#Frag"))).as("canon_url"))),
     "q_lang_dist" -> ((s, dir) => docs(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("cnt"))),
     // ---- search query language (Q1-Q3 analogs) ----
@@ -171,6 +209,19 @@ object SparkEntry {
       QueryMatch.topMatchesFromIndex(s, sigs, bands, queryText, k = 10)
     }),
     "q_para_hash" -> ((s, dir) => MaintenanceOps.paragraphHashes(docs(s, dir))),
+    // ---- sub-document dedup: corpus-wide paragraph dedup + rewrite over a
+    // multi-paragraph corpus derived from documents (5 docs joined with a
+    // blank line — same derivation in the DuckDB oracle), and duplicated-
+    // span removal (ExactSubstr rewrite; kernel-dependent → golden) ----
+    "q_para_dedup_flags" -> ((s, dir) =>
+      DedupOps.paragraphDedupFlags(paraDocs(s, dir))
+        .select(col("doc_id"), col("para_idx"),
+          when(col("keep"), lit(0)).otherwise(lit(1)).as("is_dup"))),
+    "q_para_dedup" -> ((s, dir) =>
+      DedupOps.paragraphDedup(paraDocs(s, dir))),
+    "q_dedup_spans" -> ((s, dir) => graft.substring.SpanDedup.removeDuplicateSpans(
+      s, docs(s, dir).select("doc_id", "text"), window = 8, winnow = 4,
+      maxAnchorGroup = 200, minRun = 11)),
     // ---- relational analogs (A1-A3/V4/F1-F7) ----
     "q_agg_rollup" -> ((s, dir) => RelOps.aggRollup(s, dir)
       .select(col("l_returnflag"), col("l_linestatus"),
@@ -267,7 +318,7 @@ object SparkEntry {
 
   private val goldenOracles: Map[String, String] =
     (Seq("q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
-      "q_substring", "q_cross_compare", "q_query_match")
+      "q_substring", "q_dedup_spans", "q_cross_compare", "q_query_match")
       .map(n => n -> goldenDoc(n)) ++
       Seq("q_ann_lsh", "q_ann_ivf", "q_cosine_dups", "q_semdedup")
         .map(n => n -> goldenEmb(n)) ++
@@ -342,6 +393,52 @@ object SparkEntry {
         raw"SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS p, " +
         raw"generate_subscripts(string_split_regex(text, '\n{2,}'), 1) AS i " +
         "FROM documents) WHERE length(trim(p)) > 0"),
+    "q_gopher_quality" ->
+      (raw"WITH b AS (SELECT doc_id, " +
+        raw"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END AS words, " +
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_word_len, " +
+        "CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha, " +
+        "CAST(len(list_filter(words, w -> lower(w) IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits, " +
+        "CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines FROM b), " +
+        "bg AS (SELECT doc_id, max(c) AS top_bigram_count FROM (" +
+        "SELECT doc_id, g, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1), " +
+        "i -> words[i] || ' ' || words[i + 1])) AS g FROM m WHERE len(words) >= 2) " +
+        "GROUP BY doc_id, g) GROUP BY doc_id), " +
+        "j AS (SELECT m.*, CAST(coalesce(bg.top_bigram_count, 0) AS BIGINT) AS top_bigram_count " +
+        "FROM m LEFT JOIN bg ON m.doc_id = bg.doc_id), " +
+        "r AS (SELECT doc_id, n_words, " +
+        "CASE WHEN n_words > 0 THEN (1000 * sum_word_len) // n_words ELSE 0 END AS mean_word_len_x1000, " +
+        "CASE WHEN n_words > 0 THEN (1000 * n_alpha) // n_words ELSE 0 END AS alpha_ratio_x1000, " +
+        "stop_hits, " +
+        "CASE WHEN n_lines > 0 THEN (1000 * n_dup_lines) // n_lines ELSE 0 END AS dup_line_frac_x1000, " +
+        "CASE WHEN n_words > 0 THEN least(1000, (2000 * top_bigram_count) // n_words) ELSE 0 END AS top_bigram_frac_x1000 " +
+        "FROM j) " +
+        "SELECT doc_id, n_words, CAST(mean_word_len_x1000 AS BIGINT) AS mean_word_len_x1000, " +
+        "CAST(alpha_ratio_x1000 AS BIGINT) AS alpha_ratio_x1000, stop_hits, " +
+        "CAST(dup_line_frac_x1000 AS BIGINT) AS dup_line_frac_x1000, " +
+        "CAST(top_bigram_frac_x1000 AS BIGINT) AS top_bigram_frac_x1000, " +
+        "CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len_x1000 BETWEEN 3000 AND 10000 " +
+        "AND alpha_ratio_x1000 >= 800 AND stop_hits >= 2 AND dup_line_frac_x1000 <= 300 " +
+        "AND top_bigram_frac_x1000 <= 200 THEN 1 ELSE 0 END AS pass FROM r"),
+    "q_url_canon" ->
+      ("SELECT doc_id, 'https://example' || (doc_id % 7) || '.com/Path/' || doc_id " +
+        "|| '?id=' || doc_id AS canon_url FROM documents"),
+    "q_para_dedup_flags" -> (ParaDocsCte +
+      " SELECT doc_id, para_idx, CASE WHEN rn = 1 THEN 0 ELSE 1 END AS is_dup FROM ranked"),
+    "q_para_dedup" -> (ParaDocsCte +
+      ", kept AS (SELECT doc_id, string_agg(p, e'\\n\\n' ORDER BY para_idx) AS text_dedup, " +
+      "count(*) AS n_kept FROM ranked WHERE rn = 1 GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id) " +
+      "SELECT g.doc_id, coalesce(k.text_dedup, '') AS text_dedup, " +
+      "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, " +
+      "CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras " +
+      "FROM gd g LEFT JOIN tot t ON g.doc_id = t.doc_id " +
+      "LEFT JOIN kept k ON g.doc_id = k.doc_id"),
     "q_lang_dist" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "q_search" -> "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300",
     "q_agg_rollup" ->

@@ -114,4 +114,15 @@ object MinHashStrategy {
 
 object GraftConfig {
   val default: GraftConfig = GraftConfig()
+
+  /** Default config re-banded for a target Jaccard threshold: bands/rows
+    * from `LshPlanner.plan` over the same 64-position signature. The
+    * configHash changes with the banding, so persisted indexes and
+    * checkpoints built under a different threshold invalidate automatically.
+    */
+  def forThreshold(threshold: Double, base: GraftConfig = default,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): GraftConfig = {
+    val p = LshPlanner.plan(threshold, base.signatureLength, fpWeight, fnWeight)
+    base.copy(bands = Seq(p.rows -> p.bands))
+  }
 }

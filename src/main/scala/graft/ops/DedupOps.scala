@@ -272,4 +272,66 @@ object DedupOps {
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
+
+  // ---- sub-document (paragraph) dedup --------------------------------
+
+  /** Paragraph rows with the corpus-wide first-seen keep verdict:
+    * (doc_id, para_idx, para, keep). A paragraph (identified by its
+    * whitespace/case-normalized MD5, same identity as
+    * `MaintenanceOps.paragraphHashes`) is kept only at its FIRST occurrence
+    * in (doc_id, para_idx) order; every later copy anywhere in the corpus
+    * is marked drop. This is the web-corpus boilerplate remover
+    * (nav bars, footers, licence blocks repeat across pages verbatim while
+    * the pages themselves are not near-duplicates).
+    *
+    * Scale shape: the keep election is a groupBy(para_hash) with a
+    * struct-min aggregate — partial aggregation collapses a 10^9-copy
+    * boilerplate paragraph to one row per map partition, so the hot key
+    * ships O(maps) rows, never its copy count (a window row_number over
+    * para_hash would sort the full copy list in one task — rejected).
+    * The verdict join back is keyed on para_hash with a unique build side
+    * (one row per distinct paragraph); AQE splits the skewed probe side.
+    */
+  def paragraphDedupFlags(docs: DataFrame): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .withColumn("para_hash",
+        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")))
+    val first = paras.groupBy("para_hash")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("f"))
+      .select(col("para_hash"), col("f.doc_id").as("keep_doc"),
+        col("f.para_idx").as("keep_idx"))
+    paras.join(first, "para_hash")
+      .select(col("doc_id"), col("para_idx"), col("para"),
+        (col("doc_id") === col("keep_doc") &&
+          col("para_idx") === col("keep_idx")).as("keep"))
+  }
+
+  /** Corpus rewrite after paragraph dedup: each doc's surviving paragraphs
+    * (original bytes, original order) re-joined with a blank line, plus
+    * kept/total counts. Docs whose every paragraph was dropped (or that
+    * had none) come back with empty text — the caller decides whether to
+    * filter them. Second application is the identity (all survivors are
+    * corpus-unique by construction).
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val flags = paragraphDedupFlags(docs)
+    val totals = flags.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    val kept = flags.where(col("keep"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            x => x.getField("para")),
+          "\n\n").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"))
+  }
 }

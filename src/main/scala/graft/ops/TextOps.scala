@@ -59,6 +59,110 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")) +
         (length(regexp_replace(text, "\\s", "")) / lit(6)).cast("int"))
+
+  /** Canonical URL for revisit/mirror dedup keys — the standard web-pipeline
+    * normalizations, applied as one deterministic column expression (pure
+    * regexp_replace/regexp_extract chain, codegen, RE2-compatible patterns
+    * so an independent SQL engine reproduces it exactly):
+    *   1. trim; strip the #fragment;
+    *   2. lowercase the scheme and host; strip a ":80"/":443" port and a
+    *      leading "www.";
+    *   3. drop tracking query params (utm_*, gclid, fbclid, msclkid) and
+    *      re-normalize separators (no "?&", "&&", or trailing "?"/"&");
+    *   4. drop trailing slashes on the path (before "?" and at the end).
+    * Path case and remaining param order are preserved — reordering params
+    * can change server behavior; this is a conservative mirror key, not a
+    * crawler politeness canonicalizer.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_replace(
+      regexp_replace(lower(regexp_extract(rest, "^([^/?]*)", 1)), ":(80|443)$", ""),
+      "^www\\.", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val noTrack = regexp_replace(pathq,
+      "([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&]*", "$1")
+    val collapsed = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    val noSlash = regexp_replace(regexp_replace(collapsed, "/+\\?", "?"), "/+$", "")
+    when(scheme === "", concat(hostport, noSlash))
+      .otherwise(concat(scheme, lit("://"), hostport, noSlash))
+  }
+
+  /** Gopher-rule stopwords (Rae et al. 2021, Appendix A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule battery (Rae et al. 2021 "Scaling Language
+    * Models: ... Gopher", Appendix A1.1 — public filter rules): per-doc
+    * metrics plus the composite keep verdict. All ratios are
+    * floor(1000×ratio) integers so the contract is engine-exact, and all
+    * metrics are computed with built-in array/higher-order functions
+    * (codegen, no UDF fence) except the top-bigram count, which is an
+    * explode + two-level aggregate — per-doc array ops would be O(len²)
+    * on long docs, while the explode shuffles exactly the bigram postings
+    * (the same volume the shingling stages already move at scale).
+    *
+    * Rules enforced (thresholds are the published ones where applicable):
+    * 50 ≤ n_words ≤ 100000; mean word length in [3, 10]; ≥ 80% of words
+    * contain a letter; ≥ 2 stopword occurrences; duplicate-line fraction
+    * ≤ 30%; top-bigram token coverage (2·count/n_words upper bound) ≤ 20%.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val words = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val lines = filter(
+      transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val base = docs.select(col("doc_id"), words.as("words"), lines.as("lines"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("sum_word_len",
+        coalesce(aggregate(col("words"), lit(0L), (acc, w) => acc + length(w)), lit(0L)))
+      .withColumn("n_alpha",
+        size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(col("words"), w => lower(w).isin(GopherStopwords: _*))).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_dup_lines",
+        (size(col("lines")) - size(array_distinct(col("lines")))).cast("long"))
+      .withColumn("bigrams",
+        when(size(col("words")) >= 2,
+          zip_with(
+            slice(col("words"), lit(1), size(col("words")) - 1),
+            slice(col("words"), lit(2), size(col("words")) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>")))
+
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
+
+    base.join(topBigram, Seq("doc_id"), "left")
+      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+      .withColumn("mean_word_len_x1000",
+        when(col("n_words") > 0, expr("(1000 * sum_word_len) div n_words")).otherwise(lit(0L)))
+      .withColumn("alpha_ratio_x1000",
+        when(col("n_words") > 0, expr("(1000 * n_alpha) div n_words")).otherwise(lit(0L)))
+      .withColumn("dup_line_frac_x1000",
+        when(col("n_lines") > 0, expr("(1000 * n_dup_lines) div n_lines")).otherwise(lit(0L)))
+      .withColumn("top_bigram_frac_x1000",
+        when(col("n_words") > 0,
+          least(lit(1000L), expr("(2000 * top_bigram_count) div n_words"))).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_x1000"),
+        col("alpha_ratio_x1000"), col("stop_hits"), col("dup_line_frac_x1000"),
+        col("top_bigram_frac_x1000"),
+        when(col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_x1000").between(3000L, 10000L) &&
+          col("alpha_ratio_x1000") >= 800L &&
+          col("stop_hits") >= 2L &&
+          col("dup_line_frac_x1000") <= 300L &&
+          col("top_bigram_frac_x1000") <= 200L, lit(1)).otherwise(lit(0)).as("pass"))
+  }
 }
 
 /** Tiny deterministic trigram language scorer (public standard technique). */

@@ -86,37 +86,24 @@ object SubstringStage {
   /** splitmix-style avalanche so minima are taken over well-mixed values. */
   private def mix(x: Long): Long = graft.hash.SimHash.mix64(x ^ 1125899906842597L)
 
-  /** Pairs of docs sharing a long verbatim token run, with the exact longest
-    * common run length from suffix-array verification. Detection is
-    * guaranteed (whp, modulo hash collisions) for shared runs of
-    * ≥ window + winnow − 1 tokens; callers should set
-    * minRun ≥ window + winnow − 1 so the filter matches the guarantee.
-    * Input: (doc_id: Long, text: String).
+  /** Candidate pairs (a < b, distinct) from shared winnowed anchors over
+    * `hashed` (doc_id, hashes), with the stop-anchor cap for boilerplate.
+    * Map-side local cap first (same trick as DedupPipeline.pairsFromBands,
+    * exactly output-preserving): a key over cap locally is globally over
+    * cap, and cap+1 delivered rows already force the reducer drop — so a
+    * mega-hot boilerplate anchor ships ≤ (cap+1)·maps rows instead of its
+    * whole posting list to one reducer. (anchor rows are distinct on
+    * (anchor, doc_id), so group size IS the distinct-doc count.)
+    * Shared by the detection (`run`) and rewrite (`SpanDedup`) surfaces.
     */
-  def run(spark: SparkSession, docs: DataFrame,
-      window: Int = 40, winnow: Int = 8,
-      maxAnchorGroup: Int = 200, minRun: Int = 47): DataFrame = {
+  private[substring] def candidatePairs(spark: SparkSession, hashed: DataFrame,
+      window: Int, winnow: Int, maxAnchorGroup: Int): DataFrame = {
     import spark.implicits._
-
-    val hashed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, tokenHashes(text)) }
-      .toDF("doc_id", "hashes")
-      .where(size(col("hashes")) >= window)
-      .cache()
-
     val w = window; val wn = winnow
-    val anchorRows = hashed.as[(Long, Array[Int])]
+    val anchorRows = hashed.select(col("doc_id"), col("hashes")).as[(Long, Array[Int])]
       .flatMap { case (id, hs) => anchors(hs, w, wn).map(a => (a, id)) }
       .toDF("anchor", "doc_id")
       .distinct()
-
-    // candidate pairs from shared anchors; stop-anchor cap for boilerplate.
-    // Map-side local cap first (same trick as DedupPipeline.pairsFromBands,
-    // exactly output-preserving): a key over cap locally is globally over
-    // cap, and cap+1 delivered rows already force the reducer drop — so a
-    // mega-hot boilerplate anchor ships ≤ (cap+1)·maps rows instead of its
-    // whole posting list to one reducer. (anchorRows is already distinct on
-    // (anchor, doc_id), so group size IS the distinct-doc count.)
     val cap = maxAnchorGroup
     val capped = anchorRows.as[(Long, Long)].mapPartitions { it =>
       val counts = new graft.pipeline.DedupPipeline.LongCounter(1 << 12)
@@ -126,7 +113,7 @@ object SubstringStage {
         c == -1 || c <= cap + 1
       }
     }
-    val pairs = capped
+    capped
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, rows: Iterator[(Long, Long)]) =>
         // stream with early overflow — never materialize an over-cap group
@@ -146,6 +133,27 @@ object SubstringStage {
       }
       .toDF("a", "b")
       .distinct()
+  }
+
+  /** Pairs of docs sharing a long verbatim token run, with the exact longest
+    * common run length from suffix-array verification. Detection is
+    * guaranteed (whp, modulo hash collisions) for shared runs of
+    * ≥ window + winnow − 1 tokens; callers should set
+    * minRun ≥ window + winnow − 1 so the filter matches the guarantee.
+    * Input: (doc_id: Long, text: String).
+    */
+  def run(spark: SparkSession, docs: DataFrame,
+      window: Int = 40, winnow: Int = 8,
+      maxAnchorGroup: Int = 200, minRun: Int = 47): DataFrame = {
+    import spark.implicits._
+
+    val hashed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, tokenHashes(text)) }
+      .toDF("doc_id", "hashes")
+      .where(size(col("hashes")) >= window)
+      .cache()
+
+    val pairs = candidatePairs(spark, hashed, window, winnow, maxAnchorGroup)
 
     // exact verification: suffix-array longest common run per pair
     val joined = pairs

@@ -65,6 +65,61 @@ object SuffixArray {
     out
   }
 
+  /** Matching statistics of `b` against `a` (Chang–Lawler): ms(i) = length
+    * of the longest prefix of b's suffix starting at i that occurs ANYWHERE
+    * in `a`. Computed from the generalized suffix array of a#b: for each
+    * b-suffix, the best match is against the nearest a-suffix above or
+    * below it in SA order, with match length = the min of the LCP values
+    * between them — two linear sweeps. The unique separator can never be
+    * part of a common prefix (it occurs once), so runs stop at it
+    * naturally. O((|a|+|b|) log(|a|+|b|)).
+    */
+  def matchingStatistics(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val ms = new Array[Int](b.length)
+    if (a.isEmpty || b.isEmpty) return ms
+    val sep = Int.MinValue + 1
+    val s = new Array[Int](a.length + 1 + b.length)
+    System.arraycopy(a, 0, s, 0, a.length)
+    s(a.length) = sep
+    System.arraycopy(b, 0, s, a.length + 1, b.length)
+    val sa = build(s)
+    val l = lcp(s, sa)
+    val n = s.length
+    // downward sweep: best = min LCP back to the nearest a-suffix above
+    var best = -1 // -1 = no a-suffix seen yet
+    var i = 0
+    while (i < n) {
+      if (i > 0 && best >= 0) best = math.min(best, l(i))
+      if (sa(i) < a.length) best = Int.MaxValue
+      else if (sa(i) > a.length && best >= 0) {
+        val bi = sa(i) - a.length - 1
+        if (best > ms(bi)) ms(bi) = best
+      }
+      i += 1
+    }
+    // upward sweep: nearest a-suffix below
+    best = -1
+    i = n - 1
+    while (i >= 0) {
+      if (sa(i) < a.length) best = Int.MaxValue
+      else if (sa(i) > a.length && best >= 0) {
+        val bi = sa(i) - a.length - 1
+        if (best > ms(bi)) ms(bi) = best
+      }
+      if (i > 0 && best >= 0) best = math.min(best, l(i))
+      i -= 1
+    }
+    // Int.MaxValue sentinels can only leak if min() was never applied,
+    // which cannot happen for a b-suffix (an lcp step always sits between
+    // it and any a-suffix); clamp defensively to the suffix length anyway.
+    var j = 0
+    while (j < b.length) {
+      if (ms(j) > b.length - j) ms(j) = b.length - j
+      j += 1
+    }
+    ms
+  }
+
   /** Longest common substring (token run) between two int sequences:
     * suffix array over a#b with a unique separator, max LCP across the
     * boundary. Returns (length, startA, startB).

@@ -20,7 +20,7 @@ object GenFixtures {
   /** queries whose results depend on the documents/embeddings tables. */
   val perSf: Seq[String] = Seq(
     "q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
-    "q_substring", "q_cross_compare", "q_query_match",
+    "q_substring", "q_dedup_spans", "q_cross_compare", "q_query_match",
     "q_ann_lsh", "q_ann_ivf", "q_cosine_dups", "q_semdedup")
 
   /** dir-independent queries (synthetic media corpus). */

@@ -1,0 +1,351 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+import graft.substring.{SpanDedup, SuffixArray}
+import graft.kernel.{GraftConfig, LshPlanner, TextNorm}
+
+class MatchingStatisticsSpec extends AnyFunSuite {
+
+  /** brute-force reference: ms(i) = longest common prefix of b[i..] with
+    * any position of a. */
+  private def bruteMs(a: Array[Int], b: Array[Int]): Array[Int] =
+    Array.tabulate(b.length) { i =>
+      var best = 0
+      for (j <- a.indices) {
+        var k = 0
+        while (i + k < b.length && j + k < a.length && b(i + k) == a(j + k)) k += 1
+        if (k > best) best = k
+      }
+      best
+    }
+
+  test("matching statistics match brute force on crafted sequences") {
+    val a = Array(1, 2, 3, 4, 5, 6, 7, 8, 2, 3, 9)
+    val b = Array(9, 2, 3, 4, 1, 2, 3, 4, 5, 9, 9, 8, 2, 3)
+    assert(SuffixArray.matchingStatistics(a, b).toSeq == bruteMs(a, b).toSeq)
+  }
+
+  test("matching statistics match brute force on random sequences") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val a = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(6))
+      val b = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(6))
+      assert(SuffixArray.matchingStatistics(a, b).toSeq == bruteMs(a, b).toSeq,
+        s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("matching statistics of empty inputs") {
+    assert(SuffixArray.matchingStatistics(Array.empty, Array(1, 2)).toSeq == Seq(0, 0))
+    assert(SuffixArray.matchingStatistics(Array(1, 2), Array.empty[Int]).isEmpty)
+  }
+
+  test("duplicateIntervals merges overlapping covered runs") {
+    val a = Array(1, 2, 3, 4, 5, 6)
+    // b: [1,2,3,4] at 1 and [3,4,5,6] at 3 overlap -> one merged interval
+    val b = Array(9, 1, 2, 3, 4, 5, 6, 9)
+    val iv = SpanDedup.duplicateIntervals(Seq(a), b, minRun = 4)
+    assert(iv.toSeq == Seq((1, 7)))
+    // a shorter threshold keeps the same merged cover
+    val none = SpanDedup.duplicateIntervals(Seq(a), b, minRun = 7)
+    assert(none.isEmpty)
+  }
+
+  test("duplicateIntervals unions coverage across partners") {
+    val p1 = Array(1, 2, 3, 4)
+    val p2 = Array(5, 6, 7, 8)
+    val b = Array(1, 2, 3, 4, 0, 0, 5, 6, 7, 8)
+    val iv = SpanDedup.duplicateIntervals(Seq(p1, p2), b, minRun = 4)
+    assert(iv.toSeq == Seq((0, 4), (6, 10)))
+  }
+}
+
+class LshPlannerSpec extends AnyFunSuite {
+
+  test("collision probability S-curve basics") {
+    assert(LshPlanner.collisionProb(0.0, 20, 4) == 0.0)
+    assert(math.abs(LshPlanner.collisionProb(1.0, 20, 4) - 1.0) < 1e-12)
+    val lo = LshPlanner.collisionProb(0.3, 20, 4)
+    val hi = LshPlanner.collisionProb(0.8, 20, 4)
+    assert(lo < hi)
+    // midpoint: P(midpoint) = 0.5 by construction
+    val mid = LshPlanner.curveMidpoint(20, 4)
+    assert(math.abs(LshPlanner.collisionProb(mid, 20, 4) - 0.5) < 1e-9)
+  }
+
+  test("plan is optimal over the exhaustive (b, r) grid") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(64, 128)) {
+      val p = LshPlanner.plan(t, n)
+      assert(p.bands * p.rows <= n)
+      val bestCost = (1 to n).flatMap { r =>
+        val b = n / r
+        if (b >= 1) {
+          val (fp, fn) = LshPlanner.areas(t, b, r)
+          Some(0.5 * fp + 0.5 * fn)
+        } else None
+      }.min
+      assert(math.abs(p.cost(0.5, 0.5) - bestCost) < 1e-12)
+    }
+  }
+
+  test("higher threshold plans wider bands (more rows per band)") {
+    val loose = LshPlanner.plan(0.3, 64)
+    val strict = LshPlanner.plan(0.9, 64)
+    assert(strict.rows > loose.rows)
+    // the chosen curve's midpoint lands near the target threshold
+    for ((t, p) <- Seq(0.3 -> loose, 0.9 -> strict))
+      assert(math.abs(LshPlanner.curveMidpoint(p.bands, p.rows) - t) < 0.2)
+  }
+
+  test("weights steer the trade: FP-averse plan has smaller FP area") {
+    val fpAverse = LshPlanner.plan(0.5, 64, fpWeight = 0.9, fnWeight = 0.1)
+    val fnAverse = LshPlanner.plan(0.5, 64, fpWeight = 0.1, fnWeight = 0.9)
+    assert(fpAverse.fpArea <= fnAverse.fpArea)
+    assert(fpAverse.fnArea >= fnAverse.fnArea)
+  }
+
+  test("forThreshold rebands the config and changes its hash") {
+    val cfg = GraftConfig.forThreshold(0.8)
+    val Seq((rows, bands)) = cfg.bands
+    assert(rows * bands <= cfg.signatureLength)
+    assert(cfg.configHash != GraftConfig.default.configHash)
+    // the derived band projection is well-formed for the new plan
+    assert(cfg.bandProjection.length == bands)
+    assert(cfg.bandProjection.forall(_.length == rows))
+  }
+}
+
+class ParagraphDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val boiler = "Subscribe to our newsletter for updates"
+  private val docs = Seq(
+    (0L, s"alpha one two three\n\n$boiler\n\nunique tail zero"),
+    (1L, s"$boiler\n\nbeta content here"),
+    (2L, s"gamma text\n\n$boiler\n\n$boiler"),
+    (3L, "   \n\n  "), // only blank paragraphs -> everything dropped
+    (4L, "delta standalone")
+  ).toDF("doc_id", "text")
+
+  test("first corpus-wide occurrence keeps, all later copies drop") {
+    val flags = DedupOps.paragraphDedupFlags(docs)
+      .select("doc_id", "para_idx", "keep").as[(Long, Int, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(flags((0L, 1)))   // first boilerplate occurrence
+    assert(!flags((1L, 0)))  // later copy in doc 1
+    assert(!flags((2L, 1)) && !flags((2L, 2))) // both copies in doc 2
+    assert(flags((0L, 0)) && flags((0L, 2)) && flags((1L, 1)) && flags((2L, 0)))
+    assert(!flags.contains((3L, 0))) // blank paragraphs never surface
+  }
+
+  test("rewrite keeps original bytes and order; empty docs come back empty") {
+    val out = DedupOps.paragraphDedup(docs)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == s"alpha one two three\n\n$boiler\n\nunique tail zero")
+    assert(out(0L)._3 == 3 && out(0L)._4 == 3)
+    assert(out(1L)._2 == "beta content here")
+    assert(out(1L)._3 == 1 && out(1L)._4 == 2)
+    assert(out(2L)._2 == "gamma text" && out(2L)._3 == 1 && out(2L)._4 == 3)
+    assert(out(3L)._2 == "" && out(3L)._3 == 0 && out(3L)._4 == 0)
+    assert(out(4L)._2 == "delta standalone")
+    assert(out.size == 5)
+  }
+
+  test("second application is the identity") {
+    val once = DedupOps.paragraphDedup(docs)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    val twice = DedupOps.paragraphDedup(once)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+}
+
+class GopherQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val good = (
+    "the quick brown fox jumps over a lazy dog and then walks away to find " +
+      "some food because it would have been hungry after that long run with " +
+      "friends across wide fields of green grass under clear skies while birds " +
+      "keep singing old songs about summer days gone past and warm light").trim
+
+  test("metrics are exact on a hand-checked doc") {
+    val docs = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.gopherQuality(docs).collect()(0)
+    assert(r.getAs[Long]("n_words") == 6)
+    assert(r.getAs[Long]("mean_word_len_x1000") == 17000 / 6) // 17 chars / 6 words
+    assert(r.getAs[Long]("alpha_ratio_x1000") == 1000)
+    assert(r.getAs[Long]("stop_hits") == 2) // the ×2
+    assert(r.getAs[Long]("dup_line_frac_x1000") == 0)
+    // every bigram unique -> coverage 2/6
+    assert(r.getAs[Long]("top_bigram_frac_x1000") == 2000 / 6)
+    assert(r.getAs[Int]("pass") == 0) // under the 50-word floor
+  }
+
+  test("each rule fails the right doc and the clean doc passes") {
+    val docs = Seq(
+      (0L, good),                                     // passes all rules
+      (1L, "too short to pass the word floor"),       // n_words < 50
+      (2L, ("spam " * 60).trim),                      // top-bigram coverage 100%
+      (3L, Array.fill(5)("the same line of text with that and have").mkString("\n")), // dup lines
+      (4L, (1 to 60).map(_ => "12345").mkString(" ")) // no alphabetic words
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.gopherQuality(docs)
+      .select("doc_id", "pass").as[(Long, Int)].collect().toMap
+    assert(out(0L) == 1, "clean doc must pass")
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 0)
+  }
+}
+
+class CanonicalUrlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(graft.ops.TextOps.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("mirror variants collapse to one key") {
+    val out = canon(
+      "http://WWW.A.com:80/x/?utm_campaign=1",
+      "http://a.com/x",
+      "HTTP://a.COM/x//",
+      "http://a.com/x?utm_source=z&utm_medium=y#section")
+    assert(out.distinct == Seq("http://a.com/x"))
+  }
+
+  test("real params survive, tracking params drop, separators re-normalize") {
+    assert(canon("https://a.com/p?gclid=g&q=1&fbclid=f&r=2") ==
+      Seq("https://a.com/p?q=1&r=2"))
+    assert(canon("https://a.com/p?q=1&utm_x=2") == Seq("https://a.com/p?q=1"))
+    assert(canon("https://a.com/p?utm_x=2") == Seq("https://a.com/p"))
+  }
+
+  test("ports, schemeless urls, root slash, case rules") {
+    assert(canon("https://b.com:443/CaseKept/Q") == Seq("https://b.com/CaseKept/Q"))
+    assert(canon("https://b.com:8080/x") == Seq("https://b.com:8080/x")) // non-default port kept
+    assert(canon("b.com/path/") == Seq("b.com/path"))
+    assert(canon("https://c.com/") == Seq("https://c.com"))
+  }
+}
+
+class RewriteJobSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+
+  test("--rewrite paragraphs: earliest crawl keeps; re-crawled url collapses first") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rw").toString
+    val boiler = "shared footer boilerplate text"
+    // u2 crawled EARLIER than u1 -> u2's copy of the boilerplate survives
+    val rows = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), s"alpha body\n\n$boiler"),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"beta body\n\n$boiler"),
+      // re-crawl of u2: collapses to the first-crawled text — it must NOT
+      // tombstone its own paragraphs as later copies
+      ("u2", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), s"beta body vtwo\n\n$boiler")
+    ).toDF("url", "warc_ts", "text")
+    rows.write.mode("overwrite").parquet(s"$tmp/in")
+    val a = DedupJob.parse(Array("--input", s"$tmp/in", "--output", s"$tmp/out",
+      "--rewrite", "paragraphs", "--text-only"))
+    val (docs, rewritten) = DedupJob.runRewrite(spark, a)
+    assert(docs == 2 && rewritten == 1)
+    val out = spark.read.parquet(s"$tmp/out").as[(String, String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("u2")._2 == s"beta body\n\n$boiler" && out("u2")._3 == 2)
+    assert(out("u1")._2 == "alpha body" && out("u1")._3 == 1 && out("u1")._4 == 2)
+  }
+
+  test("--rewrite spans cuts the duplicated excerpt from the later crawl") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rw2").toString
+    val excerpt = toks("ex", 60).mkString(" ")
+    val rows = Seq(
+      ("early", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        excerpt + " " + toks("ea", 50).mkString(" ")),
+      ("late", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        toks("la", 50).mkString(" ") + " " + excerpt)
+    ).toDF("url", "warc_ts", "text")
+    rows.write.mode("overwrite").parquet(s"$tmp/in")
+    val a = DedupJob.parse(Array("--input", s"$tmp/in", "--output", s"$tmp/out",
+      "--rewrite", "spans", "--text-only"))
+    val (docs, rewritten) = DedupJob.runRewrite(spark, a)
+    assert(docs == 2 && rewritten == 1)
+    val out = spark.read.parquet(s"$tmp/out").as[(String, String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("early")._4 == 0 && out("early")._2.contains(excerpt))
+    assert(out("late")._4 == 60 && out("late")._2 == toks("la", 50).mkString(" "))
+  }
+
+  test("parse rejects invalid rewrite usage") {
+    intercept[IllegalArgumentException](DedupJob.parse(
+      Array("--input", "i", "--output", "o", "--rewrite", "nope")))
+    intercept[IllegalArgumentException](DedupJob.parse(
+      Array("--input", "i", "--output", "o", "--rewrite", "spans",
+        "--stream", "--checkpoint", "c")))
+    intercept[IllegalArgumentException](DedupJob.parse(
+      Array("--input", "i", "--output", "o", "--rewrite", "paragraphs",
+        "--incremental", "b", "--checkpoint", "c")))
+  }
+}
+
+class SpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(text: String): String =
+    TextNorm.tokenize(text).allTokens.mkString(" ")
+
+  /** letter-only tokens — digit runs normalize to '0' and would alias. */
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+
+  test("a shared excerpt is cut from the later doc only") {
+    val excerpt = toks("sh", 30).mkString(" ")
+    val a = toks("aw", 50).mkString(" ") + " " + excerpt
+    val b = toks("bw", 50).mkString(" ") + " " + excerpt +
+      " " + toks("bt", 50).mkString(" ")
+    val c = toks("cw", 60).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(spark, docs,
+        window = 8, winnow = 4, minRun = 11)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == norm(a) && out(1L)._4 == 0) // first occurrence intact
+    assert(out(2L)._2 == norm(b).replace(" " + excerpt, "")) // span cut, hosts kept
+    assert(out(2L)._4 == 30)
+    assert(out(3L)._2 == norm(c) && out(3L)._4 == 0) // untouched doc
+    assert(out.size == 3)
+  }
+
+  test("chain 0->1->2: the shared span survives exactly once corpus-wide") {
+    val excerpt = toks("run", 25).mkString(" ")
+    val d0 = excerpt + " " + toks("x", 40).mkString(" ")
+    val d1 = toks("y", 40).mkString(" ") + " " + excerpt
+    val d2 = toks("z", 40).mkString(" ") + " " + excerpt
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(spark, docs,
+        window = 8, winnow = 4, minRun = 11)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._4 == 0)
+    assert(out(1L)._4 == 25 && !out(1L)._2.contains(excerpt))
+    assert(out(2L)._4 == 25 && !out(2L)._2.contains(excerpt))
+    val totalCopies = Seq(out(0L), out(1L), out(2L))
+      .count(_._2.contains(excerpt))
+    assert(totalCopies == 1)
+  }
+
+  test("overlapping spans from different partners merge into one cut") {
+    // partner 1 shares b's tokens [0,15), partner 2 shares [10,25)
+    val seg = toks("ov", 25)
+    val p1 = (toks("p", 30) ++ seg.slice(0, 15)).mkString(" ")
+    val p2 = (seg.slice(10, 25) ++ toks("q", 30)).mkString(" ")
+    val b = (seg ++ toks("r", 30)).mkString(" ")
+    val docs = Seq((1L, p1), (2L, p2), (10L, b)).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(spark, docs,
+        window = 8, winnow = 4, minRun = 11)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._4 == 25)
+    assert(out(10L)._2 == toks("r", 30).mkString(" "))
+    assert(out(1L)._4 == 0 && out(2L)._4 == 0)
+  }
+}
