@@ -67,6 +67,40 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in verify hot path:\n$plan")
   }
 
+  test("paragraph dedup election is a partial aggregate, never a window sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.DedupOps.paragraphDedupFlags(docs)
+      .queryExecution.executedPlan.toString
+    // first-seen keeps = groupBy(para_hash).min(struct) — map-side combine
+    // bounds a mega-hot boilerplate paragraph at O(map partitions) rows
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"election must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window over para_hash would sort the hot key's full copy list in one task:\n$plan")
+  }
+
+  test("gopher quality battery: HOF metrics carry no UDF fence") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextOps.gopherQuality(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in quality battery:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      s"top-bigram count must partial-aggregate:\n$plan")
+  }
+
+  test("canonical url is a pure expression inside one codegen span") {
+    // non-literal input — a literal constant-folds to a LocalTableScan
+    val df = spark.range(2)
+      .select(concat(lit("https://WWW.A.com:443/x"), col("id").cast("string"),
+        lit("/?utm_source=1&q=2")).as("u"))
+      .select(graft.ops.TextOps.canonicalUrl(col("u")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in url canon:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("https://a.com/x0?q=2", "https://a.com/x1?q=2"))
+  }
+
   test("native fingerprint participates in whole-stage codegen (no regex, no UDF)") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
