@@ -111,6 +111,73 @@ object StreamingIndex {
     firstSeen.union(sigs.filter((d: DocSig) => !d.has_exact))
   }
 
+  /** State row for a seen paragraph: where it was first kept. */
+  final case class ParaSeen(doc_id: Long, para_idx: Int)
+
+  private def paraRows(docs: DataFrame) =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .select(col("doc_id"), col("para_idx"), col("para"),
+        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")).as("para_hash"))
+
+  /** Streaming paragraph-level first-seen dedup — the streaming form of
+    * `DedupOps.paragraphDedupFlags` for a (doc_id, text) crawl stream.
+    * Emits one verdict row per non-empty paragraph: (doc_id, para_idx,
+    * para, keep), keep=true only on the corpus-lifetime FIRST arrival of
+    * that normalized paragraph content. State: ONE `ParaSeen` row per
+    * distinct paragraph (the same ∝-distinct-content bound as
+    * `exactDedupStream`). Within a micro-batch the keeper is
+    * min (doc_id, para_idx), so replaying a corpus in ascending doc order
+    * reproduces the batch verdicts exactly (asserted by test).
+    *
+    * Memory note: a key's FIRST batch buffers that batch's copies to find
+    * the keeper before verdicts emit (later batches stream O(1) off the
+    * existing state); a duplicate-heavy burst is bounded by the micro-batch
+    * size (`--max-files-per-trigger` at the source). `paraFirstSeenStream`
+    * below is the O(1)-per-group variant that emits only kept paragraphs.
+    */
+  def paraDedupFlagsStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    paraRows(docs).as[(Long, Int, String, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[(Long, Int, String, String)], state: GroupState[ParaSeen]) => {
+          if (state.exists) rows.map(r => (r._1, r._2, r._3, false))
+          else {
+            val buf = rows.toArray
+            val k = buf.minBy(r => (r._1, r._2))
+            state.update(ParaSeen(k._1, k._2))
+            buf.iterator.map(r =>
+              (r._1, r._2, r._3, r._1 == k._1 && r._2 == k._2))
+          }
+        })
+      .toDF("doc_id", "para_idx", "para", "keep")
+  }
+
+  /** Kept-paragraphs-only stream: each distinct paragraph's first arrival
+    * passes, everything later is dropped in-flight — O(1) memory per group
+    * (no verdict rows for dropped copies). The streaming boilerplate
+    * filter for assembling a deduped corpus at the sink.
+    */
+  def paraFirstSeenStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    paraRows(docs).as[(Long, Int, String, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[(Long, Int, String, String)], state: GroupState[ParaSeen]) => {
+          if (state.exists) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val k = rows.minBy(r => (r._1, r._2))
+            state.update(ParaSeen(k._1, k._2))
+            Iterator.single((k._1, k._2, k._3))
+          }
+        })
+      .toDF("doc_id", "para_idx", "para")
+  }
+
   /** Event-time tumbling-window aggregation with watermark over a stream of
     * (ts: timestamp, event_type: string, value: double).
     */

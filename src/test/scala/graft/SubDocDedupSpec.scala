@@ -230,6 +230,71 @@ class CanonicalUrlSpec extends SparkTestBase {
   }
 }
 
+class ParaDedupStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private val boiler = "subscribe to our newsletter today"
+
+  test("paragraph first-seen state survives across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIndex
+      .paraDedupFlagsStream(spark, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("para_flags")
+      .outputMode("append").start()
+    mem.addData((0L, s"alpha text\n\n$boiler"), (1L, s"$boiler\n\nbeta text"))
+    q.processAllAvailable()
+    mem.addData((2L, s"$boiler\n\ngamma text"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, para_idx, keep from para_flags")
+      .as[(Long, Int, Boolean)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+    assert(got((0L, 1)))                    // first arrival keeps
+    assert(!got((1L, 0)) && !got((2L, 0)))  // same + later batch copies drop
+    assert(got((0L, 0)) && got((1L, 1)) && got((2L, 1)))
+  }
+
+  test("in-order replay reproduces the batch verdicts exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, s"one two\n\n$boiler\n\nthree"),
+      (1L, s"$boiler\n\n$boiler\n\nfour"),
+      (2L, "five six"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIndex
+      .paraDedupFlagsStream(spark, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("para_replay")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select doc_id, para_idx, keep from para_replay")
+      .as[(Long, Int, Boolean)].collect().toSet
+    q.stop()
+    val batch = graft.ops.DedupOps.paragraphDedupFlags(docs.toDF("doc_id", "text"))
+      .select("doc_id", "para_idx", "keep")
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("kept-only stream: a 100-copy burst yields one paragraph, re-delivery nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIndex
+      .paraFirstSeenStream(spark, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("para_kept")
+      .outputMode("append").start()
+    mem.addData((0L until 100L).map(i => (i, boiler)): _*)
+    q.processAllAvailable()
+    mem.addData((500L, boiler)) // re-delivery in a later batch
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, para_idx from para_kept")
+      .as[(Long, Int)].collect().toSeq
+    q.stop()
+    assert(got == Seq((0L, 0)))
+  }
+}
+
 class RewriteJobSpec extends SparkTestBase {
   import spark.implicits._
 
