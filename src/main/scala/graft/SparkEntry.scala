@@ -113,6 +113,13 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) => DedupOps.minhashPairs(s, docs(s, dir))),
     "q_simhash" -> ((s, dir) => DedupOps.simhash(s, docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(s, docs(s, dir), threshold = 0.5)),
+    // decontamination: benchmark = every 50th doc, corpus = the rest
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.decontaminate(
+        d.where(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(50)) === 0))
+    }),
     // ---- text analysis ----
     "q_token_count" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
@@ -428,6 +435,18 @@ object SparkEntry {
     "q_url_canon" ->
       ("SELECT doc_id, 'https://example' || (doc_id % 7) || '.com/Path/' || doc_id " +
         "|| '?id=' || doc_id AS canon_url FROM documents"),
+    "q_decontam" ->
+      (raw"WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        raw"ELSE string_split_regex(trim(text), '\s+') END AS words FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, len(words) - 12), i -> array_to_string(words[i:i+12], ' ')))) AS gram " +
+        "FROM w WHERE len(words) >= 13), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "c AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN b USING (gram) " +
+        "WHERE doc_id % 50 <> 0 GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "CASE WHEN coalesce(c.n_hits, 0) > 0 THEN 1 ELSE 0 END AS is_contaminated " +
+        "FROM w LEFT JOIN c ON w.doc_id = c.doc_id WHERE w.doc_id % 50 <> 0"),
     "q_para_dedup_flags" -> (ParaDocsCte +
       " SELECT doc_id, para_idx, CASE WHEN rn = 1 THEN 0 ELSE 1 END AS is_dup FROM ranked"),
     "q_para_dedup" -> (ParaDocsCte +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kernel._
 import graft.hash.SimHash
@@ -272,6 +272,47 @@ object DedupOps {
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
+
+  // ---- benchmark decontamination --------------------------------------
+
+  /** Ordered (not sorted) whitespace n-grams of a words array; empty when
+    * the doc is shorter than n. */
+  private def orderedGrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  private def wordsCol: Column =
+    when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+
+  /** Benchmark decontamination (the GPT-3 Appendix-C / PaLM procedure):
+    * flag every training doc sharing at least one length-`n` ordered token
+    * gram with the benchmark/eval set. Returns one row per training doc:
+    * (doc_id, n_hits = distinct contaminated grams, is_contaminated 0/1).
+    *
+    * Scale shape: eval sets are tiny next to the corpus, so the benchmark
+    * side reduces to a distinct-gram table that BROADCASTS — the corpus'
+    * exploded grams filter map-side against it (no corpus-wide shuffle;
+    * the only exchange is the per-doc hit-count partial aggregate). The
+    * canonical n = 13 makes false-positive gram collisions essentially
+    * impossible while catching verbatim inclusions.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(array_distinct(orderedGrams(wordsCol, n))).as("gram"))
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    val hits = grams(docs)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
+          .as("is_contaminated"))
+  }
 
   // ---- sub-document (paragraph) dedup --------------------------------
 

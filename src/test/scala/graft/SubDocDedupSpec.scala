@@ -230,6 +230,39 @@ class CanonicalUrlSpec extends SparkTestBase {
   }
 }
 
+class DecontaminationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("training docs sharing an n-gram with the benchmark are flagged") {
+    // 8-token passage -> exactly 4 distinct ordered 5-grams
+    val passage = (1 to 8).map(i => s"p${('a' + i).toChar}").mkString(" ")
+    val bench = Seq((1000L, s"eval question intro $passage answer choices"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"some page text then $passage and a tail"), // contaminated
+      (2L, (1 to 30).map(i => s"c${('a' + i % 26).toChar}$i").mkString(" ")), // clean
+      (3L, "too short"),                                  // under n tokens
+      (4L, "")                                            // empty
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.decontaminate(train, bench, n = 5)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 4 && out(1L)._3 == 1)
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0)
+    assert(out(4L)._2 == 0 && out(4L)._3 == 0)
+    assert(out.size == 4) // every training doc gets a verdict row
+  }
+
+  test("benchmark side broadcasts (no corpus-wide shuffle for the filter)") {
+    val bench = Seq((1000L, (1 to 20).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val train = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val plan = graft.ops.DedupOps.decontaminate(train, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark grams must broadcast:\n$plan")
+  }
+}
+
 class ParaDedupStreamSpec extends SparkTestBase {
   import spark.implicits._
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
