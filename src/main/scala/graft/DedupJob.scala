@@ -138,9 +138,15 @@ object DedupJob {
         val ex = udf((h: Array[Byte]) => graft.kernel.TextNorm.extract(h))
         input.withColumn("text", ex(col("html")))
       } else input
+    // crawl order = instant order: epoch millis zero-padded to a fixed
+    // width so the string key sorts numerically (a wall-clock date_format
+    // can invert instants across a DST fold). Null timestamps sort LAST —
+    // an undated re-crawl never outranks a dated one. Pre-1970 instants
+    // would break the padding; web crawls don't have them.
     val ord =
       if (withText.columns.contains("warc_ts"))
-        concat(coalesce(date_format(col("warc_ts"), "yyyyMMddHHmmssSSS"), lit("")), col("url"))
+        concat(lpad(coalesce(unix_millis(col("warc_ts")), lit(999999999999999L))
+          .cast("string"), 15, "0"), lit("|"), col("url"))
       else col("url")
     // S1 url collapse first — a re-crawl of the same page must not
     // tombstone its own paragraphs/spans as "later copies"

@@ -117,12 +117,16 @@ object GraftConfig {
 
   /** Default config re-banded for a target Jaccard threshold: bands/rows
     * from `LshPlanner.plan` over the same 64-position signature. The
-    * configHash changes with the banding, so persisted indexes and
-    * checkpoints built under a different threshold invalidate automatically.
+    * planner models the ≥1-band collision curve, so the produced config
+    * also sets `bandMatchesRequired = 1` — leaving the default 2 would
+    * silently square the realized curve (and a 1-band plan would emit
+    * nothing at all). The configHash changes with the banding, so
+    * persisted indexes and checkpoints built under a different threshold
+    * invalidate automatically.
     */
   def forThreshold(threshold: Double, base: GraftConfig = default,
       fpWeight: Double = 0.5, fnWeight: Double = 0.5): GraftConfig = {
     val p = LshPlanner.plan(threshold, base.signatureLength, fpWeight, fnWeight)
-    base.copy(bands = Seq(p.rows -> p.bands))
+    base.copy(bands = Seq(p.rows -> p.bands), bandMatchesRequired = 1)
   }
 }

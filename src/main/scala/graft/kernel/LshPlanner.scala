@@ -51,9 +51,11 @@ object LshPlanner {
     (fp * threshold / steps, fn * (1.0 - threshold) / steps)
   }
 
-  /** Best (b, r) with b·r ≤ numPerms for `threshold`, minimizing
-    * fpWeight·FP + fnWeight·FN; ties broken toward fewer bands (less
-    * candidate volume), then more rows.
+  /** Best (b, r) over the FULL grid b·r ≤ numPerms for `threshold`,
+    * minimizing fpWeight·FP + fnWeight·FN; ties broken toward fewer bands
+    * (less candidate volume), then more rows. The full grid matters: at
+    * t=0.5/64 perms the optimum is (14, 4), which a maximal-b-per-r scan
+    * (b = numPerms/r only) never evaluates.
     */
   def plan(threshold: Double, numPerms: Int,
       fpWeight: Double = 0.5, fnWeight: Double = 0.5): Plan = {
@@ -65,15 +67,18 @@ object LshPlanner {
     var bestCost = Double.MaxValue
     var r = 1
     while (r <= numPerms) {
-      val b = numPerms / r // largest band count for this row width
-      if (b >= 1) {
+      var b = 1
+      while (b * r <= numPerms) {
         val (fp, fn) = areas(threshold, b, r)
         val c = fpWeight * fp + fnWeight * fn
-        if (c < bestCost - 1e-15 ||
-            (math.abs(c - bestCost) <= 1e-15 && best != null && b < best.bands)) {
+        val better = c < bestCost - 1e-15
+        val tie = math.abs(c - bestCost) <= 1e-15 && best != null &&
+          (b < best.bands || (b == best.bands && r > best.rows))
+        if (better || tie) {
           best = Plan(b, r, fp, fn)
           bestCost = c
         }
+        b += 1
       }
       r += 1
     }

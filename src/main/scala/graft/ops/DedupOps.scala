@@ -334,11 +334,7 @@ object DedupOps {
     * (one row per distinct paragraph); AQE splits the skewed probe side.
     */
   def paragraphDedupFlags(docs: DataFrame): DataFrame = {
-    val paras = docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
-      .where(length(trim(col("para"))) > 0)
-      .withColumn("para_hash",
-        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")))
+    val paras = MaintenanceOps.paragraphRows(docs)
     val first = paras.groupBy("para_hash")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("f"))
       .select(col("para_hash"), col("f.doc_id").as("keep_doc"),
@@ -358,18 +354,20 @@ object DedupOps {
     */
   def paragraphDedup(docs: DataFrame): DataFrame = {
     val flags = paragraphDedupFlags(docs)
-    val totals = flags.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
-    val kept = flags.where(col("keep"))
-      .groupBy("doc_id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
-            x => x.getField("para")),
-          "\n\n").as("text_dedup"),
-        count(lit(1)).as("n_kept"))
+    // ONE groupBy(doc_id) over the flags: totals, kept count, and the
+    // rewrite all aggregate together (collect_list skips the nulls the
+    // unmatched `when` leaves for dropped paragraphs) — a separate
+    // totals/kept pair would execute the whole election plan twice
+    val agg = flags.groupBy("doc_id").agg(
+      count(lit(1)).as("n_paras"),
+      count(when(col("keep"), lit(1))).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"), struct(col("para_idx"), col("para"))))),
+          x => x.getField("para")),
+        "\n\n").as("text_dedup"))
     docs.select("doc_id")
-      .join(totals, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

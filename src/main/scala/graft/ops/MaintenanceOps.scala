@@ -268,16 +268,26 @@ object MaintenanceOps {
     bands.repartition(n, col("band_id"), col("band_hash"))
   }
 
+  /** THE paragraph identity: non-empty paragraphs of each doc with their
+    * whitespace/case-normalized MD5 — (doc_id, para_idx, para, para_hash).
+    * Single definition shared by the P2 hash index, batch paragraph dedup
+    * (`DedupOps.paragraphDedupFlags`), and the streaming first-seen
+    * election (`StreamingIndex`): stream/batch verdict parity depends on
+    * these never drifting, so there is exactly one copy of the expression.
+    */
+  def paragraphRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .withColumn("para_hash",
+        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")))
+
   /** P2 analog — per-paragraph position-independent content hash:
     * (doc_id, para_idx, para_hash). The sub-document exact index that feeds
     * unique-block isolation and pair diffing.
     */
   def paragraphHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
-      .where(length(trim(col("para"))) > 0)
-      .select(col("doc_id"), col("para_idx"),
-        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")).as("para_hash"))
+    paragraphRows(docs).select("doc_id", "para_idx", "para_hash")
 
   /** G1/G2 analog — pair diff: which paragraphs two docs share (exact,
     * position-independent), plus G3's fuzzy fallback — best Levenshtein

@@ -65,8 +65,9 @@ object TextOps {
     * regexp_replace/regexp_extract chain, codegen, RE2-compatible patterns
     * so an independent SQL engine reproduces it exactly):
     *   1. trim; strip the #fragment;
-    *   2. lowercase the scheme and host; strip a ":80"/":443" port and a
-    *      leading "www.";
+    *   2. lowercase the scheme and host; strip the SCHEME'S default port
+    *      (":80" for http, ":443" for https — an explicit :443 on http is
+    *      a different resource and is kept) and a leading "www.";
     *   3. drop tracking query params (utm_*, gclid, fbclid, msclkid) and
     *      re-normalize separators (no "?&", "&&", or trailing "?"/"&");
     *   4. drop trailing slashes on the path (before "?" and at the end).
@@ -78,9 +79,11 @@ object TextOps {
     val u = regexp_replace(trim(url), "#.*", "")
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = regexp_replace(
-      regexp_replace(lower(regexp_extract(rest, "^([^/?]*)", 1)), ":(80|443)$", ""),
-      "^www\\.", "")
+    val hostport0 = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val noDefaultPort = when(scheme === "http", regexp_replace(hostport0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport0, ":443$", ""))
+      .otherwise(hostport0)
+    val hostport = regexp_replace(noDefaultPort, "^www\\.", "")
     val pathq = regexp_replace(rest, "^[^/?]*", "")
     val noTrack = regexp_replace(pathq,
       "([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&]*", "$1")
@@ -142,7 +145,11 @@ object TextOps {
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
 
-    base.join(topBigram, Seq("doc_id"), "left")
+    // join only the scalar counters — carrying the words/lines/bigrams
+    // arrays through the doc_id exchange would shuffle ~4x the corpus text
+    val metrics = base.select(col("doc_id"), col("n_words"), col("sum_word_len"),
+      col("n_alpha"), col("stop_hits"), col("n_lines"), col("n_dup_lines"))
+    metrics.join(topBigram, Seq("doc_id"), "left")
       .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
       .withColumn("mean_word_len_x1000",
         when(col("n_words") > 0, expr("(1000 * sum_word_len) div n_words")).otherwise(lit(0L)))

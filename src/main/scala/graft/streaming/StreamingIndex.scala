@@ -115,11 +115,8 @@ object StreamingIndex {
   final case class ParaSeen(doc_id: Long, para_idx: Int)
 
   private def paraRows(docs: DataFrame) =
-    docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
-      .where(length(trim(col("para"))) > 0)
-      .select(col("doc_id"), col("para_idx"), col("para"),
-        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")).as("para_hash"))
+    graft.ops.MaintenanceOps.paragraphRows(docs)
+      .select("doc_id", "para_idx", "para", "para_hash")
 
   /** Streaming paragraph-level first-seen dedup — the streaming form of
     * `DedupOps.paragraphDedupFlags` for a (doc_id, text) crawl stream.

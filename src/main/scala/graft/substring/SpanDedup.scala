@@ -3,7 +3,6 @@ package graft.substring
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kernel.TextNorm
-import graft.hash.Murmur3
 
 /** Duplicated-SPAN removal — the rewrite counterpart of SubstringStage's
   * detection (Lee et al., "Deduplicating Training Data Makes Language
@@ -84,7 +83,7 @@ object SpanDedup {
     val tok = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val t = TextNorm.tokenize(if (text == null) "" else text).allTokens.toArray
-        val h = t.map(x => (Murmur3.hashU(x, 0) & 0x7fffffffL).toInt)
+        val h = t.map(SubstringStage.tokenHash)
         (id, t, h)
       }
       .toDF("doc_id", "tokens", "hashes")

@@ -30,10 +30,15 @@ import graft.hash.Murmur3
   */
 object SubstringStage {
 
-  /** token-hash sequence of a doc, masked to 31 bits (separator-safe). */
+  /** THE 31-bit token hash space (separator-safe) — shared by detection
+    * (`run`) and the rewrite (`SpanDedup`), which must match in exactly
+    * this space to stay one channel. */
+  def tokenHash(t: String): Int = (Murmur3.hashU(t, 0) & 0x7fffffffL).toInt
+
+  /** token-hash sequence of a doc. */
   def tokenHashes(text: String): Array[Int] = {
     val tok = TextNorm.tokenize(text)
-    tok.allTokens.map(t => (Murmur3.hashU(t, 0) & 0x7fffffffL).toInt).toArray
+    tok.allTokens.map(tokenHash).toArray
   }
 
   /** Winnowed anchors: O(n) rolling hash of every `window`-token run + a

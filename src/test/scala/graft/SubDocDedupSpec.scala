@@ -79,15 +79,18 @@ class LshPlannerSpec extends AnyFunSuite {
     for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(64, 128)) {
       val p = LshPlanner.plan(t, n)
       assert(p.bands * p.rows <= n)
-      val bestCost = (1 to n).flatMap { r =>
-        val b = n / r
-        if (b >= 1) {
-          val (fp, fn) = LshPlanner.areas(t, b, r)
-          Some(0.5 * fp + 0.5 * fn)
-        } else None
-      }.min
+      val bestCost = (for {
+        r <- 1 to n
+        b <- 1 to n / r
+      } yield {
+        val (fp, fn) = LshPlanner.areas(t, b, r)
+        0.5 * fp + 0.5 * fn
+      }).min
       assert(math.abs(p.cost(0.5, 0.5) - bestCost) < 1e-12)
     }
+    // the non-maximal interior point a restricted b = n/r scan never visits
+    val p = LshPlanner.plan(0.5, 64)
+    assert(p.bands == 14 && p.rows == 4, s"expected (14, 4), got $p")
   }
 
   test("higher threshold plans wider bands (more rows per band)") {
@@ -111,6 +114,9 @@ class LshPlannerSpec extends AnyFunSuite {
     val Seq((rows, bands)) = cfg.bands
     assert(rows * bands <= cfg.signatureLength)
     assert(cfg.configHash != GraftConfig.default.configHash)
+    // the planner models the >=1-band curve: the config must not demand 2
+    // band matches (that squares the curve; fatal for a 1-band plan)
+    assert(cfg.bandMatchesRequired == 1)
     // the derived band projection is well-formed for the new plan
     assert(cfg.bandProjection.length == bands)
     assert(cfg.bandProjection.forall(_.length == rows))
@@ -225,6 +231,10 @@ class CanonicalUrlSpec extends SparkTestBase {
   test("ports, schemeless urls, root slash, case rules") {
     assert(canon("https://b.com:443/CaseKept/Q") == Seq("https://b.com/CaseKept/Q"))
     assert(canon("https://b.com:8080/x") == Seq("https://b.com:8080/x")) // non-default port kept
+    // only the SCHEME'S default port strips — a cross-scheme port is a
+    // genuinely different resource and must not merge
+    assert(canon("http://b.com:443/x") == Seq("http://b.com:443/x"))
+    assert(canon("https://b.com:80/x") == Seq("https://b.com:80/x"))
     assert(canon("b.com/path/") == Seq("b.com/path"))
     assert(canon("https://c.com/") == Seq("https://c.com"))
   }
