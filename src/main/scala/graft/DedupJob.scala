@@ -19,6 +19,8 @@ import graft.kernel.GraftConfig
   *     [--max-files-per-trigger N]   stream micro-batch bound (0 = source default)
   *     [--trigger-interval D]        continuous-mode trigger (default "30 seconds")
   *     [--rewrite paragraphs|spans]  corpus REWRITE mode (see runRewrite)
+  *     [--decontaminate <parquet>]   benchmark decontamination mode
+  *     [--decontam-n N]              gram length for it (default 13)
   *     [--text-only]                 trust the text column (skip extraction)
   *     [--jaccard-verify]            exact k-gram Jaccard after signature verify
   *     [--hot-band-prefilter]        two-phase heavy-hitter exclusion
@@ -65,6 +67,7 @@ object DedupJob {
       stateStore: String = "rocksdb", maxFilesPerTrigger: Int = 0,
       triggerInterval: String = "30 seconds",
       rewrite: Option[String] = None,
+      decontaminate: Option[String] = None, decontamN: Int = 13,
       opts: PipelineOptions = PipelineOptions())
 
   private[graft] def parse(argv: Array[String]): Args = {
@@ -85,6 +88,8 @@ object DedupJob {
         case "--trigger-interval" =>
           a = a.copy(triggerInterval = argv(i + 1)); i += 2
         case "--rewrite" => a = a.copy(rewrite = Some(argv(i + 1))); i += 2
+        case "--decontaminate" => a = a.copy(decontaminate = Some(argv(i + 1))); i += 2
+        case "--decontam-n" => a = a.copy(decontamN = argv(i + 1).toInt); i += 2
         case "--text-only" => a = a.copy(fromHtml = false); i += 1
         case "--jaccard-verify" =>
           a = a.copy(opts = a.opts.copy(jaccardVerify = true)); i += 1
@@ -101,12 +106,17 @@ object DedupJob {
         "[--incremental <parquet>] [--compact-every N] [--stream] " +
         "[--trigger-once] [--state-store rocksdb|hdfs] " +
         "[--max-files-per-trigger N] [--trigger-interval D] " +
-        "[--rewrite paragraphs|spans] [--text-only] " +
+        "[--rewrite paragraphs|spans] [--decontaminate <parquet>] " +
+        "[--decontam-n N] [--text-only] " +
         "[--jaccard-verify] [--hot-band-prefilter] [--max-band-group N]")
     require(a.rewrite.forall(Set("paragraphs", "spans")),
       s"--rewrite must be paragraphs or spans, got: ${a.rewrite.orNull}")
     require(a.rewrite.isEmpty || (!a.stream && a.incremental.isEmpty),
       "--rewrite is a standalone corpus-rewrite mode (no --stream/--incremental)")
+    require(a.decontaminate.isEmpty ||
+      (!a.stream && a.incremental.isEmpty && a.rewrite.isEmpty),
+      "--decontaminate is a standalone filter mode (no --stream/--incremental/--rewrite)")
+    require(a.decontamN >= 2, s"--decontam-n must be >= 2, got: ${a.decontamN}")
     require(a.incremental.isEmpty || a.checkpoint.nonEmpty,
       "--incremental requires --checkpoint (the persisted index lives there)")
     require(!a.stream || a.checkpoint.nonEmpty,
@@ -174,6 +184,49 @@ object DedupJob {
       if (a.rewrite.get == "paragraphs") written.where(col("n_kept") < col("n_paras"))
       else written.where(col("n_removed") > 0)
     (written.count(), rewritten.count())
+  }
+
+  /** Decontamination mode (`--decontaminate <benchmark parquet>`): the
+    * corpus (same input shape, url-collapsed and extracted like
+    * runRewrite) is checked for ordered `--decontam-n`-gram overlap with
+    * the benchmark docs (any column named text; html extracted when
+    * present) and written WITHOUT the contaminated docs; the flagged docs
+    * land next to the output under `<output>_contaminated` with their hit
+    * counts for audit. Returns (clean docs written, contaminated docs).
+    */
+  def runDecontaminate(spark: SparkSession, a: Args): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val input = spark.read.parquet(a.input)
+    val withText =
+      if (a.fromHtml) {
+        val ex = udf((h: Array[Byte]) => graft.kernel.TextNorm.extract(h))
+        input.withColumn("text", ex(col("html")))
+      } else input
+    // url collapse (max-row rule — any deterministic one-per-url works
+    // here: contamination is per-content, not per-crawl-order)
+    val docsByUrl = withText.select(col("url"), col("text"))
+      .groupBy("url").agg(max(col("text")).as("text"))
+    val docs = graft.ops.ExportImport.compactIds(docsByUrl, "url", "doc_id")
+      .select(col("doc_id"), col("url"), col("text"))
+    val benchRaw = spark.read.parquet(a.decontaminate.get)
+    val bench =
+      if (benchRaw.columns.contains("text"))
+        benchRaw.select(monotonically_increasing_id().as("doc_id"), col("text"))
+      else {
+        val ex = udf((h: Array[Byte]) => graft.kernel.TextNorm.extract(h))
+        benchRaw.select(monotonically_increasing_id().as("doc_id"),
+          ex(col("html")).as("text"))
+      }
+    val verdicts = graft.ops.DedupOps.decontaminate(docs, bench, a.decontamN)
+    val joined = docs.join(verdicts, "doc_id")
+    joined.where(col("is_contaminated") === 0)
+      .select("url", "text")
+      .write.mode("overwrite").parquet(a.output)
+    joined.where(col("is_contaminated") === 1)
+      .select("url", "text", "n_hits")
+      .write.mode("overwrite").parquet(s"${a.output}_contaminated")
+    (spark.read.parquet(a.output).count(),
+      spark.read.parquet(s"${a.output}_contaminated").count())
   }
 
   def run(spark: SparkSession, a: Args,
@@ -573,7 +626,10 @@ object DedupJob {
     val a = parse(argv)
     val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
     try {
-      if (a.rewrite.nonEmpty) {
+      if (a.decontaminate.nonEmpty) {
+        val (clean, contaminated) = runDecontaminate(spark, a)
+        println(s"DEDUP_DECONTAM_DONE clean=$clean contaminated=$contaminated output=${a.output}")
+      } else if (a.rewrite.nonEmpty) {
         val (docs, rewritten) = runRewrite(spark, a)
         println(s"DEDUP_REWRITE_DONE mode=${a.rewrite.get} docs=$docs rewritten=$rewritten output=${a.output}")
       } else if (a.stream) {

@@ -386,6 +386,25 @@ class RewriteJobSpec extends SparkTestBase {
     assert(out("late")._4 == 60 && out("late")._2 == toks("la", 50).mkString(" "))
   }
 
+  test("--decontaminate drops overlapping docs and audits them with hit counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dc").toString
+    val passage = toks("pz", 15).mkString(" ") // 15 tokens -> 3 distinct 13-grams
+    Seq((s"benchmark question: $passage"))
+      .toDF("text").write.mode("overwrite").parquet(s"$tmp/bench")
+    Seq(
+      ("u1", s"page start ${toks("fa", 10).mkString(" ")} $passage trailer"),
+      ("u2", toks("fb", 40).mkString(" "))
+    ).toDF("url", "text").write.mode("overwrite").parquet(s"$tmp/in")
+    val a = DedupJob.parse(Array("--input", s"$tmp/in", "--output", s"$tmp/out",
+      "--decontaminate", s"$tmp/bench", "--text-only"))
+    val (clean, contaminated) = DedupJob.runDecontaminate(spark, a)
+    assert(clean == 1 && contaminated == 1)
+    assert(spark.read.parquet(s"$tmp/out").select("url").as[String].collect().toSeq == Seq("u2"))
+    val audit = spark.read.parquet(s"$tmp/out_contaminated")
+      .select("url", "n_hits").as[(String, Long)].collect().toSeq
+    assert(audit == Seq(("u1", 3L)))
+  }
+
   test("parse rejects invalid rewrite usage") {
     intercept[IllegalArgumentException](DedupJob.parse(
       Array("--input", "i", "--output", "o", "--rewrite", "nope")))
