@@ -144,6 +144,9 @@ object SparkEntry {
         lit("&fbclid=Abc123#Frag"))).as("canon_url"))),
     "q_lang_dist" -> ((s, dir) => docs(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("cnt"))),
+    // dataset mixing: deterministic per-language sampling rates
+    "q_mix_sample" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir), "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), defaultRate = 0.1)),
     // ---- search query language (Q1-Q3 analogs) ----
     "q_search" -> ((s, dir) => docs(s, dir)
       .where(SearchQuery.predicate("lang:en AND n_chars:>300",
@@ -460,6 +463,13 @@ object SparkEntry {
       "LEFT JOIN kept k ON g.doc_id = k.doc_id"),
     "q_lang_dist" -> "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
     "q_search" -> "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300",
+    "q_mix_sample" ->
+      ("SELECT doc_id, lang AS stratum, " +
+        "(doc_id % 1000003) * 2654435761 % 999983 AS bucket, " +
+        "CASE WHEN (doc_id % 1000003) * 2654435761 % 999983 < " +
+        "CASE lang WHEN 'en' THEN 499991 WHEN 'de' THEN 299994 " +
+        "WHEN 'fr' THEN 199996 ELSE 99998 END THEN 1 ELSE 0 END AS keep " +
+        "FROM documents"),
     "q_agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

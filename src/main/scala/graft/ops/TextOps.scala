@@ -95,6 +95,43 @@ object TextOps {
       .otherwise(concat(scheme, lit("://"), hostport, noSlash))
   }
 
+  /** Deterministic stratified sampling for dataset MIXING: each stratum
+    * (e.g. language) keeps its configured fraction of docs, decided by a
+    * seeded multiplicative hash of doc_id — no RNG state, so the keep set
+    * is reproducible run-to-run, job-to-job, and engine-to-engine (pure
+    * bounded BIGINT arithmetic: `((doc_id + seed) % 1000003) * 2654435761
+    * % 999983`, never overflowing a signed 64-bit in ANY engine — an
+    * unbounded product would wrap in Spark but ERROR in DuckDB, breaking
+    * the oracle contract). Returns every doc with its stratum, bucket,
+    * and keep verdict; callers filter `keep = 1`.
+    *
+    * The doc_id % 1000003 stage makes the bucket sequence periodic with
+    * cycle ~10^6: ids exactly 1000003 apart share a verdict. Fine for
+    * mixing (each stratum still keeps its rate to within ~10^-6 at any
+    * scale); a pipeline needing cryptographic-grade independence at
+    * 10^12 ids should swap in xxhash64 and give up SQL-oracle exactness.
+    *
+    * Rates are floored to integer thresholds out of 999983, so the
+    * contract is exact: keep ⇔ bucket < floor(rate · 999983).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: Long = 0L): DataFrame = {
+    require(seed >= 0, s"seed must be non-negative, got $seed")
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val bucket = ((col("doc_id") + lit(seed)) % lit(1000003L)) *
+      lit(2654435761L) % lit(999983L)
+    def thr(r: Double): Long = (r * 999983L).toLong
+    val threshold = rates.foldLeft(lit(thr(defaultRate))) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(thr(v))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col(strataCol).as("stratum"),
+        bucket.as("bucket"), threshold.as("thr"))
+      .select(col("doc_id"), col("stratum"), col("bucket"),
+        when(col("bucket") < col("thr"), lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   /** Gopher-rule stopwords (Rae et al. 2021, Appendix A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -240,6 +240,45 @@ class CanonicalUrlSpec extends SparkTestBase {
   }
 }
 
+class StratifiedSampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = (0L until 10000L)
+    .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+    .toDF("doc_id", "lang")
+
+  test("each stratum realizes its configured rate within tolerance") {
+    val out = graft.ops.TextOps.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.9)
+    val kept = out.where(col("keep") === 1).groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // ~3333 docs per stratum; multiplicative-hash buckets are near-uniform
+    assert(math.abs(kept("en") - 3333 * 0.5) < 150, s"en kept ${kept("en")}")
+    assert(math.abs(kept("de") - 3333 * 0.1) < 100, s"de kept ${kept("de")}")
+    assert(math.abs(kept("xx") - 3334 * 0.9) < 150, s"xx kept ${kept("xx")}")
+  }
+
+  test("sampling is deterministic; the seed changes membership, not rates") {
+    def keepSet(seed: Long) = graft.ops.TextOps.stratifiedSample(
+      docs, "lang", Map("en" -> 0.5), defaultRate = 0.5, seed = seed)
+      .where(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val a = keepSet(0L)
+    assert(a == keepSet(0L))          // reproducible
+    val b = keepSet(12345L)
+    assert(a != b)                    // seed rotates the sample
+    assert(math.abs(a.size - b.size) < 300) // same realized rate
+  }
+
+  test("rate 0 keeps nothing, rate 1 keeps everything") {
+    val out = graft.ops.TextOps.stratifiedSample(docs, "lang",
+      Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.0)
+      .where(col("keep") === 1).groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(!out.contains("en") && !out.contains("xx"))
+    assert(out("de") == docs.where(col("lang") === "de").count())
+  }
+}
+
 class DecontaminationSpec extends SparkTestBase {
   import spark.implicits._
 
