@@ -12,8 +12,11 @@ import graft.tools.DedupRunOne
   * the fixed local[32] level; `scaling_efficiency` is the canonical pinned
   * local[1]→local[4] pair (constant per-core host resources), with the
   * 8→32 pair, the Spark-free kernel pair and the raw memory-bandwidth
-  * saturation pair all reported alongside (see BENCH.md). Prints ONE JSON
-  * line.
+  * saturation pair all reported alongside (see BENCH.md). Both the query
+  * pass AND the dedup levels carry a recover-and-rerun contention policy:
+  * a section that ran in a labeled-hot window re-runs once if the window
+  * recovers within a bounded wait (`queries_rerun`/`dedup_rerun` in the
+  * JSON). Prints ONE JSON line.
   */
 object Bench {
 
@@ -363,12 +366,7 @@ object Bench {
       preDedup = contentionProbe()
     }
     val r8 = Seq.fill(2)(dedupRun(8, 8, corpusPath, warmupPath))
-    val r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
-    val (docs8, t8, _) = r8.minBy(_._2)
-    val (docs32, t32, clusters) = r32.minBy(_._2)
-    val tput8 = docs8 / t8
-    val tput32 = docs32 / t32
-    val eff8to32 = (tput32 / tput8) / 4.0
+    var r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
 
     // ---- N→4N scaling criterion at CONSTANT per-core host resources ----
     // the cluster premise is that 4N executors bring 4× of every resource;
@@ -386,8 +384,46 @@ object Bench {
     // vs 22.4-22.8 s in three clean back-to-back forks — enough to swing
     // the pair from 0.86 to 0.76), and one extra run/side tightens that
     // tail for ~100 s of bench time
-    val r1s = Seq.fill(3)(dedupRun(1, 1, corpusPath, tinyWarmupPath))
-    val r4s = Seq.fill(3)(dedupRun(4, 4, corpusPath, tinyWarmupPath))
+    var r1s = Seq.fill(3)(dedupRun(1, 1, corpusPath, tinyWarmupPath))
+    var r4s = Seq.fill(3)(dedupRun(4, 4, corpusPath, tinyWarmupPath))
+
+    // ---- dedup recover-and-rerun (the r5 asymmetry): the query pass
+    // re-runs once when its window recovers, but the timed levels used to
+    // record into whatever window existed after 3 exhausted backoffs —
+    // BENCH_r05's recorded headline (11,471, scaling 0.711) was a labeled
+    // 3.87× storm the same binary passes quiet (24,082, 0.861). Probe
+    // AFTER the levels; if the section entered hot (pre-gate exhausted) or
+    // ENDED hot (window turned mid-section), wait bounded for recovery and
+    // re-run the headline local[32] level + the 1→4 criterion pair once
+    // (best-of-2, ~6 min at sf0.1). A storm can now delay the artifact; it
+    // can no longer BE the artifact unless it outlasts every backoff.
+    var postDedup = contentionProbe()
+    var dedupRerun = false
+    var dedupRerunBackoffs = 0
+    if (preDedup.factor > 1.5 || postDedup.factor > 1.5) {
+      var p = postDedup
+      while (dedupRerunBackoffs < 2 && p.factor > 1.5) {
+        System.err.println(f"[bench] dedup levels ran contended (pre ${preDedup.factor}%.2f, post ${p.factor}%.2f); backing off 90s (${dedupRerunBackoffs + 1}/2)")
+        dedupRerunBackoffs += 1; Thread.sleep(90000); p = contentionProbe()
+      }
+      if (p.factor <= 1.5) {
+        System.err.println("[bench] window recovered; re-running local[32] + the 1→4 pair")
+        dedupRerun = true
+        r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
+        r1s = Seq.fill(2)(dedupRun(1, 1, corpusPath, tinyWarmupPath))
+        r4s = Seq.fill(2)(dedupRun(4, 4, corpusPath, tinyWarmupPath))
+        postDedup = contentionProbe()
+      } else postDedup = p
+    }
+
+    val (docs8, t8, _) = r8.minBy(_._2)
+    val (docs32, t32, clusters) = r32.minBy(_._2)
+    val tput8 = docs8 / t8
+    val tput32 = docs32 / t32
+    // NOTE: after a rerun the 8-side of this diagnostic pair is from the
+    // contended window while the 32-side is post-recovery — the canonical
+    // criterion pair below is rerun as a PAIR and stays window-consistent
+    val eff8to32 = (tput32 / tput8) / 4.0
     val (d1, t1, _) = r1s.minBy(_._2)
     val (d4, t4, _) = r4s.minBy(_._2)
     val efficiency = ((d4 / t4) / (d1 / t1)) / 4.0
@@ -409,13 +445,14 @@ object Bench {
     // post-run contention check: the factor that actually applied to the
     // timed levels (the pre-run gate can't see a window turning mid-run)
     val post = contentionProbe()
-    val allPinned = queriesPre.pinned && queriesPost.pinned && preDedup.pinned && post.pinned
+    val allPinned = queriesPre.pinned && queriesPost.pinned &&
+      preDedup.pinned && postDedup.pinned && post.pinned
     // "learned" only when the learned value actually EXCEEDS the floor
     // after the 0.70 quiet-band shrink — i.e. when it is the effective ref
     val refSource =
       if (storedQuietK8 * 0.70 > QuietKernel8Floor) "learned" else "floor"
     val contention =
-      f""""contention":{"factor_pre":${queriesPre.factor}%.2f,"factor_queries_pre":${queriesPre.factor}%.2f,"factor_queries_post":${queriesPost.factor}%.2f,"factor_pre_dedup":${preDedup.factor}%.2f,"factor_post":${post.factor}%.2f,"kernel8_probe_pre":${queriesPre.k8}%.0f,"membw32_probe_pre":${queriesPre.bw32}%.1f,"kernel8_probe_queries_post":${queriesPost.k8}%.0f,"membw32_probe_queries_post":${queriesPost.bw32}%.1f,"kernel8_probe_pre_dedup":${preDedup.k8}%.0f,"membw32_probe_pre_dedup":${preDedup.bw32}%.1f,"kernel8_probe_post":${post.k8}%.0f,"membw32_probe_post":${post.bw32}%.1f,"quiet_ref_kernel8":$quietRefK8%.0f,"quiet_ref_source":"$refSource","kernel_code_fingerprint":"$kernelCodeFingerprint","quiet_ref_membw32":$QuietBw32%.1f,"probe_mode":"${if (allPinned) "pinned" else "fallback_unpinned"}","queries_backoffs":$queriesPreBackoffs,"queries_rerun":$queriesRerun,"dedup_backoffs":$waits}"""
+      f""""contention":{"factor_pre":${queriesPre.factor}%.2f,"factor_queries_pre":${queriesPre.factor}%.2f,"factor_queries_post":${queriesPost.factor}%.2f,"factor_pre_dedup":${preDedup.factor}%.2f,"factor_post":${post.factor}%.2f,"kernel8_probe_pre":${queriesPre.k8}%.0f,"membw32_probe_pre":${queriesPre.bw32}%.1f,"kernel8_probe_queries_post":${queriesPost.k8}%.0f,"membw32_probe_queries_post":${queriesPost.bw32}%.1f,"kernel8_probe_pre_dedup":${preDedup.k8}%.0f,"membw32_probe_pre_dedup":${preDedup.bw32}%.1f,"kernel8_probe_post":${post.k8}%.0f,"membw32_probe_post":${post.bw32}%.1f,"quiet_ref_kernel8":$quietRefK8%.0f,"quiet_ref_source":"$refSource","kernel_code_fingerprint":"$kernelCodeFingerprint","quiet_ref_membw32":$QuietBw32%.1f,"probe_mode":"${if (allPinned) "pinned" else "fallback_unpinned"}","queries_backoffs":$queriesPreBackoffs,"queries_rerun":$queriesRerun,"dedup_backoffs":$waits,"factor_post_dedup":${postDedup.factor}%.2f,"dedup_rerun":$dedupRerun,"dedup_rerun_backoffs":$dedupRerunBackoffs}"""
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum

@@ -130,17 +130,21 @@ object DedupJob {
     a
   }
 
-  /** Corpus REWRITE mode (`--rewrite paragraphs|spans`): reads the same
-    * input shape as the dedup job, collapses re-crawled urls to their
-    * first-crawled text, assigns dense doc ids in (warc_ts, url) order —
-    * so "first occurrence keeps" means the earliest crawl — and writes the
-    * rewritten corpus:
-    *   paragraphs → `DedupOps.paragraphDedup`  (url, text, n_kept, n_paras)
-    *   spans      → `SpanDedup.removeDuplicateSpans` (url, text, n_tokens, n_removed)
-    * Returns (docs written, docs actually rewritten).
+  /** Shared corpus head for the standalone rewrite/decontaminate modes:
+    * extract text (unless --text-only), collapse re-crawled urls to their
+    * FIRST-crawled text, and assign dense doc ids in (warc_ts, url) order —
+    * so "first occurrence keeps" means the earliest crawl, consistently
+    * across modes (chaining --rewrite then --decontaminate sees the same
+    * per-url text selection).
+    *
+    * Crawl order = instant order: epoch millis zero-padded to a fixed
+    * width so the string key sorts numerically (a wall-clock date_format
+    * can invert instants across a DST fold). Null timestamps sort LAST —
+    * an undated re-crawl never outranks a dated one. Pre-1970 instants
+    * would break the padding; web crawls don't have them.
     */
-  def runRewrite(spark: SparkSession, a: Args,
-      cfg: GraftConfig = GraftConfig.default): (Long, Long) = {
+  private def collapsedCorpus(spark: SparkSession, a: Args)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val input = spark.read.parquet(a.input)
     val withText =
@@ -148,11 +152,6 @@ object DedupJob {
         val ex = udf((h: Array[Byte]) => graft.kernel.TextNorm.extract(h))
         input.withColumn("text", ex(col("html")))
       } else input
-    // crawl order = instant order: epoch millis zero-padded to a fixed
-    // width so the string key sorts numerically (a wall-clock date_format
-    // can invert instants across a DST fold). Null timestamps sort LAST —
-    // an undated re-crawl never outranks a dated one. Pre-1970 instants
-    // would break the padding; web crawls don't have them.
     val ord =
       if (withText.columns.contains("warc_ts"))
         concat(lpad(coalesce(unix_millis(col("warc_ts")), lit(999999999999999L))
@@ -163,8 +162,30 @@ object DedupJob {
     val docs0 = withText.select(col("url"), ord.as("ord"), col("text"))
       .groupBy("url").agg(min(struct(col("ord"), col("text"))).as("f"))
       .select(col("url"), col("f.ord").as("ord"), col("f.text").as("text"))
-    val docs = graft.ops.ExportImport.compactIds(docs0, "ord", "doc_id")
+    graft.ops.ExportImport.compactIds(docs0, "ord", "doc_id")
       .select(col("doc_id"), col("url"), col("text"))
+  }
+
+  /** Corpus REWRITE mode (`--rewrite paragraphs|spans`): reads the same
+    * input shape as the dedup job, collapses re-crawled urls to their
+    * first-crawled text (`collapsedCorpus`), and writes the rewritten
+    * corpus:
+    *   paragraphs → `DedupOps.paragraphDedup`  (url, text, n_kept, n_paras)
+    *   spans      → `SpanDedup.removeDuplicateSpans` (url, text, n_tokens, n_removed)
+    * Returns (docs written, docs actually rewritten).
+    *
+    * OUTPUT NORMALIZATION: the rewritten `text` of EVERY doc is in the
+    * mode's normalized form — paragraphs mode re-joins surviving paragraphs
+    * with exactly one blank line (runs of >2 newlines collapse to \n\n);
+    * spans mode re-emits TextNorm-tokenized text joined by single spaces.
+    * The `rewritten` count reports docs that LOST content (paragraphs or
+    * span tokens); docs counted as not-rewritten can still differ byte-wise
+    * from their input by this normalization alone.
+    */
+  def runRewrite(spark: SparkSession, a: Args,
+      cfg: GraftConfig = GraftConfig.default): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val docs = collapsedCorpus(spark, a)
     val urls = docs.select("doc_id", "url")
     val out = a.rewrite.get match {
       case "paragraphs" =>
@@ -196,18 +217,11 @@ object DedupJob {
     */
   def runDecontaminate(spark: SparkSession, a: Args): (Long, Long) = {
     import org.apache.spark.sql.functions._
-    val input = spark.read.parquet(a.input)
-    val withText =
-      if (a.fromHtml) {
-        val ex = udf((h: Array[Byte]) => graft.kernel.TextNorm.extract(h))
-        input.withColumn("text", ex(col("html")))
-      } else input
-    // url collapse (max-row rule — any deterministic one-per-url works
-    // here: contamination is per-content, not per-crawl-order)
-    val docsByUrl = withText.select(col("url"), col("text"))
-      .groupBy("url").agg(max(col("text")).as("text"))
-    val docs = graft.ops.ExportImport.compactIds(docsByUrl, "url", "doc_id")
-      .select(col("doc_id"), col("url"), col("text"))
+    // same warc_ts-ordered earliest-crawl collapse as runRewrite:
+    // contamination verdicts are content-based either way, and a consistent
+    // per-url text selection means --rewrite → --decontaminate chains see
+    // the same corpus
+    val docs = collapsedCorpus(spark, a)
     val benchRaw = spark.read.parquet(a.decontaminate.get)
     val bench =
       if (benchRaw.columns.contains("text"))
@@ -325,8 +339,9 @@ object DedupJob {
             s"config/kernel (stored: $stored; current: $cur) — signatures " +
             "are incomparable; rebuild the state (fresh --checkpoint) or " +
             "restore the original config")
-        (spark.read.parquet(s"$chk/inc_base/$sv/gen=$g/sigs"),
-          spark.read.parquet(s"$chk/inc_base/$sv/gen=$g/bands"), folded)
+        val store = graft.storage.TableStore.parquet
+        (store.read(spark, s"$chk/inc_base/$sv/gen=$g/sigs"),
+          store.read(spark, s"$chk/inc_base/$sv/gen=$g/bands"), folded)
       case None =>
         val ledger = new Ledger(spark, chk, cfg.configHash)
         val (s, b) = graft.ops.MaintenanceOps.buildOrLoadDedupIndex(
@@ -368,12 +383,13 @@ object DedupJob {
     val pairCount = spark.read.parquet(a.output).count()
     val newlyCommitted = !committed.contains(batchId)
     if (newlyCommitted) {
-      parts.newBands.select(bandCols: _*)
-        .write.mode("overwrite").parquet(s"$chk/inc_bands/$sv/batch=$batchId")
-      parts.replacedReps.select("doc_id")
-        .write.mode("overwrite").parquet(s"$chk/inc_replaced/$sv/batch=$batchId")
-      newSigs.select(sigCols: _*)
-        .write.mode("overwrite").parquet(s"$chk/inc_sigs/$sv/batch=$batchId")
+      val store = graft.storage.TableStore.parquet
+      store.write(parts.newBands.select(bandCols: _*),
+        s"$chk/inc_bands/$sv/batch=$batchId")
+      store.write(parts.replacedReps.select("doc_id"),
+        s"$chk/inc_replaced/$sv/batch=$batchId")
+      store.write(newSigs.select(sigCols: _*),
+        s"$chk/inc_sigs/$sv/batch=$batchId")
       // commit LAST: the deltas become visible atomically with this marker
       fs.mkdirs(commitsPath)
       fs.create(new org.apache.hadoop.fs.Path(commitsPath, batchId), true).close()
@@ -453,9 +469,10 @@ object DedupJob {
         baseBands.select(bandCols: _*)))
       .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    sigs2.write.mode("overwrite").parquet(s"$chk/inc_base/$sv/gen=$g2/sigs")
-    bands2.repartition(n, col("band_id"), col("band_hash"))
-      .write.mode("overwrite").parquet(s"$chk/inc_base/$sv/gen=$g2/bands")
+    val store = graft.storage.TableStore.parquet
+    store.write(sigs2, s"$chk/inc_base/$sv/gen=$g2/sigs")
+    // the folded band table lands in the probe layout (TableStore.bandLayout)
+    store.writeBanded(bands2, s"$chk/inc_base/$sv/gen=$g2/bands", n)
     val stampOut = fs.create(new org.apache.hadoop.fs.Path(
       s"$chk/inc_base/$sv/gen=$g2/stamp"), true)
     try stampOut.write(stamp.getBytes("UTF-8")) finally stampOut.close()

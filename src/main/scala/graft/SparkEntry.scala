@@ -130,7 +130,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextOps.fingerprint(col("text")).as("fp"))),
     "q_subword" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
-      TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
+      TextOps.subwordCountUdf(col("text")).as("n_subwords"))),
     "q_langid" -> ((s, dir) => TextOps.withLangId(docs(s, dir)).select("doc_id", "lang_pred")),
     "q_gopher_quality" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
     // canonical-URL key over urls synthesized deterministically from doc_id
@@ -328,7 +328,8 @@ object SparkEntry {
 
   private val goldenOracles: Map[String, String] =
     (Seq("q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
-      "q_substring", "q_dedup_spans", "q_cross_compare", "q_query_match")
+      "q_substring", "q_dedup_spans", "q_cross_compare", "q_query_match",
+      "q_subword")
       .map(n => n -> goldenDoc(n)) ++
       Seq("q_ann_lsh", "q_ann_ivf", "q_cosine_dups", "q_semdedup")
         .map(n => n -> goldenEmb(n)) ++
@@ -392,11 +393,8 @@ object SparkEntry {
         raw"CAST(floor(1000 * (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))) AS BIGINT) AS punct_ratio_x1000 " +
         "FROM documents"),
     "q_fingerprint" -> s"SELECT doc_id, $Fp AS fp FROM documents",
-    "q_subword" ->
-      (raw"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-        raw"CAST(length(string_split_regex(trim(text), '\s+')) + " +
-        raw"length(regexp_replace(text, '\s', '', 'g')) // 6 AS BIGINT) END AS n_subwords " +
-        "FROM documents"),
+    // q_subword: BPE token counts — kernel-dependent (committed merges
+    // table), golden-fixture oracle via goldenOracles
     "q_para_hash" ->
       (raw"SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, " +
         raw"md5(regexp_replace(lower(trim(p)), '\s+', ' ', 'g')) AS para_hash FROM (" +
@@ -412,6 +410,7 @@ object SparkEntry {
         "CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_word_len, " +
         "CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha, " +
         "CAST(len(list_filter(words, w -> lower(w) IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits, " +
+        "CAST(len(list_intersect(list_transform(words, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct, " +
         "CAST(len(lines) AS BIGINT) AS n_lines, " +
         "CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines FROM b), " +
         "bg AS (SELECT doc_id, max(c) AS top_bigram_count FROM (" +
@@ -424,16 +423,16 @@ object SparkEntry {
         "r AS (SELECT doc_id, n_words, " +
         "CASE WHEN n_words > 0 THEN (1000 * sum_word_len) // n_words ELSE 0 END AS mean_word_len_x1000, " +
         "CASE WHEN n_words > 0 THEN (1000 * n_alpha) // n_words ELSE 0 END AS alpha_ratio_x1000, " +
-        "stop_hits, " +
+        "stop_hits, stop_distinct, " +
         "CASE WHEN n_lines > 0 THEN (1000 * n_dup_lines) // n_lines ELSE 0 END AS dup_line_frac_x1000, " +
         "CASE WHEN n_words > 0 THEN least(1000, (2000 * top_bigram_count) // n_words) ELSE 0 END AS top_bigram_frac_x1000 " +
         "FROM j) " +
         "SELECT doc_id, n_words, CAST(mean_word_len_x1000 AS BIGINT) AS mean_word_len_x1000, " +
-        "CAST(alpha_ratio_x1000 AS BIGINT) AS alpha_ratio_x1000, stop_hits, " +
+        "CAST(alpha_ratio_x1000 AS BIGINT) AS alpha_ratio_x1000, stop_hits, stop_distinct, " +
         "CAST(dup_line_frac_x1000 AS BIGINT) AS dup_line_frac_x1000, " +
         "CAST(top_bigram_frac_x1000 AS BIGINT) AS top_bigram_frac_x1000, " +
         "CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len_x1000 BETWEEN 3000 AND 10000 " +
-        "AND alpha_ratio_x1000 >= 800 AND stop_hits >= 2 AND dup_line_frac_x1000 <= 300 " +
+        "AND alpha_ratio_x1000 >= 800 AND stop_distinct >= 2 AND dup_line_frac_x1000 <= 300 " +
         "AND top_bigram_frac_x1000 <= 200 THEN 1 ELSE 0 END AS pass FROM r"),
     "q_url_canon" ->
       ("SELECT doc_id, 'https://example' || (doc_id % 7) || '.com/Path/' || doc_id " +

@@ -123,10 +123,16 @@ object GraftConfig {
     * nothing at all). The configHash changes with the banding, so
     * persisted indexes and checkpoints built under a different threshold
     * invalidate automatically.
+    *
+    * `bandStrategy` is forced to "random": the planner is free to pick
+    * rows×bands ≠ signatureLength (overlapping random projections), which
+    * "linear" cannot represent — inheriting a linear base would only fail
+    * LAZILY at the first `bandProjection` use.
     */
   def forThreshold(threshold: Double, base: GraftConfig = default,
       fpWeight: Double = 0.5, fnWeight: Double = 0.5): GraftConfig = {
     val p = LshPlanner.plan(threshold, base.signatureLength, fpWeight, fnWeight)
-    base.copy(bands = Seq(p.rows -> p.bands), bandMatchesRequired = 1)
+    base.copy(bands = Seq(p.rows -> p.bands), bandMatchesRequired = 1,
+      bandStrategy = "random")
   }
 }

@@ -11,13 +11,15 @@ import java.security.MessageDigest
   * descriptor (stage name + params hash + config hash + upstream descriptor
   * chain) already has a committed output is not recomputed.
   *
-  * Locally the checkpoint store is parquet directories (the Iceberg stand-in;
-  * the `_SUCCESS` marker plays the snapshot-commit role). Each materialized
-  * stage also appends a metrics row (stage, descriptor, rows, wall ms,
-  * per-partition row counts) to `<root>/_metrics` — the north_rule
-  * "per-partition lineage and metrics" channel.
+  * All table IO goes through the `TableStore` seam (default: parquet
+  * directories with the `_SUCCESS` marker playing the snapshot-commit role
+  * — see graft.storage.TableStore for the Iceberg mapping). Each
+  * materialized stage also appends a metrics row (stage, descriptor, rows,
+  * wall ms, per-partition row counts) to `<root>/_metrics` — the
+  * north_rule "per-partition lineage and metrics" channel.
   */
-final class Ledger(spark: SparkSession, root: String, configHash: String) {
+final class Ledger(spark: SparkSession, root: String, configHash: String,
+    store: graft.storage.TableStore = graft.storage.TableStore.parquet) {
 
   def descriptor(stage: String, params: String, upstream: Seq[String]): String = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -27,9 +29,10 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
 
   private def path(stage: String, desc: String) = s"$root/$stage-$desc"
 
-  /** Resolved through the Hadoop FileSystem API so the `_SUCCESS` probe
-    * works wherever the parquet was written (HDFS/S3/local) — a
-    * java.io.File probe would silently disable resume off-box.
+  /** Resolved through the Hadoop FileSystem API so the probe works wherever
+    * the table lands (HDFS/S3/local) — a java.io.File probe would silently
+    * disable resume off-box. Used for the non-table markers; table
+    * existence goes through the store's commit semantics.
     */
   private def fsExists(p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -38,29 +41,29 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
   }
 
   def isDone(stage: String, desc: String): Boolean =
-    fsExists(s"${path(stage, desc)}/_SUCCESS")
+    store.exists(spark, path(stage, desc))
 
   /** Run-or-resume: if the descriptor's output is committed, read it back;
     * otherwise compute, persist, record metrics, and read back (so downstream
-    * stages scan the materialized parquet, not the live lineage).
+    * stages scan the materialized table, not the live lineage).
     */
   def stage(name: String, desc: String)(compute: => DataFrame): DataFrame = {
     val p = path(name, desc)
     if (isDone(name, desc)) {
-      spark.read.parquet(p)
+      store.read(spark, p)
     } else {
       val t0 = System.nanoTime()
       val df = compute
-      df.write.mode("overwrite").parquet(p)
+      store.write(df, p)
       val wallMs = (System.nanoTime() - t0) / 1e6
       recordMetrics(name, desc, p, wallMs)
-      spark.read.parquet(p)
+      store.read(spark, p)
     }
   }
 
   private def recordMetrics(name: String, desc: String, p: String, wallMs: Double): Unit = {
     try {
-      val out = spark.read.parquet(p)
+      val out = store.read(spark, p)
       // run_id ties each lineage set to its summary row: the same descriptor
       // can legitimately be recomputed (stage dir deleted, re-run) and both
       // tables are append-only
@@ -76,7 +79,7 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
         .withColumn("run_id", lit(runId))
         .withColumn("ts", current_timestamp())
         .cache()
-      perPartition.write.mode("append").parquet(s"$root/_lineage")
+      store.append(perPartition, s"$root/_lineage")
       val summary = perPartition
         .agg(
           sum("rows").as("rows"),
@@ -89,18 +92,97 @@ final class Ledger(spark: SparkSession, root: String, configHash: String) {
         .withColumn("run_id", lit(runId))
         .withColumn("wall_ms", lit(wallMs))
         .withColumn("ts", current_timestamp())
-      summary.write.mode("append").parquet(s"$root/_metrics")
+      store.append(summary, s"$root/_metrics")
       perPartition.unpersist()
     } catch { case scala.util.control.NonFatal(_) => () } // metrics are best-effort; fatal errors propagate
   }
 
   def metrics(): Option[DataFrame] =
-    if (fsExists(s"$root/_metrics")) Some(spark.read.parquet(s"$root/_metrics")) else None
+    if (fsExists(s"$root/_metrics")) Some(store.read(spark, s"$root/_metrics")) else None
 
   /** Per-partition lineage rows: (part_id, rows, stage, descriptor,
     * config_hash, ts) — one row per output partition of every materialized
     * stage (the per-partition channel the aggregated `metrics()` summarizes).
     */
   def partitionMetrics(): Option[DataFrame] =
-    if (fsExists(s"$root/_lineage")) Some(spark.read.parquet(s"$root/_lineage")) else None
+    if (fsExists(s"$root/_lineage")) Some(store.read(spark, s"$root/_lineage")) else None
+
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Bounded retention for the append-only observability tables — the J5
+    * analog of the reference's TTL result cleanup
+    * (/root/reference/mcrit/Worker.py:186-261): `_metrics` and `_lineage`
+    * grow one run_id per materialized stage FOREVER; this keeps only the
+    * newest `keepRuns` run_ids per (stage, descriptor) in both tables.
+    * Stage OUTPUTS are untouched — resume reads stage dirs, never these
+    * tables (asserted by test), so a swept ledger resumes identically.
+    *
+    * Rewrite is swap-based (tmp dir + rename, old dir renamed aside before
+    * the swap and deleted after): a crash mid-sweep leaves either the old
+    * or the new table visible, never a half-written one. Metrics are a
+    * best-effort channel (recordMetrics already swallows failures), so the
+    * narrow crash window losing observability rows — never stage data — is
+    * an accepted trade.
+    */
+  def sweepMetrics(keepRuns: Int = 3): Unit = {
+    require(keepRuns > 0, s"keepRuns must be positive, got $keepRuns")
+    if (!fsExists(s"$root/_metrics")) return
+    val m = store.read(spark, s"$root/_metrics")
+    // newest runs per (stage, descriptor) by ts; run_id breaks ts ties so
+    // the kept set is deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage", "descriptor").orderBy(col("ts").desc, col("run_id").desc)
+    // COLLECTED eagerly, not kept as a lazy plan: the plan reads _metrics,
+    // and the first swap below replaces _metrics' files — a lazy semi-join
+    // for the _lineage rewrite would re-list the swapped-away files and
+    // fail. The kept set is ≤ keepRuns × #stages rows — driver-trivial.
+    val keptIds = m.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= keepRuns)
+      .select("run_id").distinct().collect().map(_.getString(0)).toSeq
+    swapRewrite("_metrics", store.read(spark, s"$root/_metrics")
+      .where(col("run_id").isin(keptIds: _*)))
+    if (fsExists(s"$root/_lineage"))
+      swapRewrite("_lineage", store.read(spark, s"$root/_lineage")
+        .where(col("run_id").isin(keptIds: _*)))
+  }
+
+  /** Keep only the newest `keepPerStage` output dirs per stage NAME (by
+    * modification time): superseded descriptors — old configs, old corpus
+    * snapshots — otherwise accumulate a full stage output each. A swept
+    * descriptor that is requested again simply recomputes (`stage()` falls
+    * through to compute on a missing `_SUCCESS`).
+    */
+  def sweepStaleStages(keepPerStage: Int = 2): Unit = {
+    require(keepPerStage > 0, s"keepPerStage must be positive, got $keepPerStage")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return
+    val stageDirs = fs.listStatus(rootPath).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .filter(_.getPath.getName.contains("-"))
+    stageDirs.groupBy(_.getPath.getName.reverse.dropWhile(_ != '-').drop(1).reverse)
+      .foreach { case (_, dirs) =>
+        dirs.sortBy(-_.getModificationTime).drop(keepPerStage)
+          .foreach(d => try fs.delete(d.getPath, true)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+  }
+
+  /** tmp-write + rename swap so readers never see a half-written table.
+    * (Parquet-specific by design: an Iceberg store would express retention
+    * as a snapshot-expiry/DELETE maintenance action instead.) */
+  private def swapRewrite(table: String, kept: DataFrame): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$table.sweep_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$table.sweep_old")
+    store.write(kept, tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(cur, old))
+      throw new IllegalStateException(s"sweep: could not move $cur aside")
+    if (!fs.rename(tmp, cur)) {
+      fs.rename(old, cur) // restore — the sweep failed, the table must not vanish
+      throw new IllegalStateException(s"sweep: could not swap $tmp into place")
+    }
+    fs.delete(old, true)
+  }
 }

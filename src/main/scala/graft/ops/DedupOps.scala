@@ -298,20 +298,46 @@ object DedupOps {
     * the only exchange is the per-doc hit-count partial aggregate). The
     * canonical n = 13 makes false-positive gram collisions essentially
     * impossible while catching verbatim inclusions.
+    *
+    * The broadcast is SIZE-GATED: the production `--decontaminate` CLI
+    * accepts an arbitrary parquet, and a union of dozens of benchmarks can
+    * hold millions of 13-grams (~100 B each) — an unconditional hint would
+    * blow the broadcast/driver limit and FAIL instead of degrade. One
+    * cheap count of the distinct bench grams decides: ≤ `maxBroadcastGrams`
+    * (default 2M ≈ 200 MB, inside Spark's 8 GB hard cap with wide margin)
+    * keeps the map-side plan; above it the join runs as a plain shuffle
+    * join on the gram key — same output (asserted by test), corpus grams
+    * exchange once.
     */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      maxBroadcastGrams: Long = 2000000L): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
         explode(array_distinct(orderedGrams(wordsCol, n))).as("gram"))
-    val benchGrams = grams(benchmark).select("gram").distinct()
+    // count once, reuse the computed distinct set for the join (bench side
+    // is the small side by premise — this is one aggregate over it)
+    val benchGrams = grams(benchmark).select("gram").distinct().cache()
+    val nBench = benchGrams.count()
+    val benchSide =
+      if (nBench <= maxBroadcastGrams) broadcast(benchGrams)
+      else {
+        System.err.println(
+          s"[graft] decontaminate: $nBench distinct benchmark ${n}-grams exceed " +
+            s"the broadcast gate ($maxBroadcastGrams); falling back to a shuffle join")
+        benchGrams
+      }
     val hits = grams(docs)
-      .join(broadcast(benchGrams), "gram")
+      .join(benchSide, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+    val out = docs.select("doc_id").join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(coalesce(col("n_hits"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
           .as("is_contaminated"))
+    // the cached gram set stays pinned only until the caller's action; an
+    // eager checkpoint here would force a second full pass over the corpus
+    // grams for callers that only count — leave lifetime to the session
+    out
   }
 
   // ---- sub-document (paragraph) dedup --------------------------------

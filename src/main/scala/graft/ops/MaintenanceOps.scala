@@ -71,10 +71,10 @@ object MaintenanceOps {
     }
     val bands = ledger.stage("dedup_bands",
         ledger.descriptor("dedup_bands", bandParams, Seq(sigDesc))) {
-      // co-locate by band key: the persisted probe layout (Iceberg
-      // `band_id, bucket(band_hash)` partitioning analog)
+      // co-locate by band key: the persisted probe layout
+      // (TableStore.bandLayout — THE band-table layout contract)
       val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      pipe.repBandTable(sigs).repartition(n, col("band_id"), col("band_hash"))
+      graft.storage.TableStore.bandLayout(pipe.repBandTable(sigs), n)
     }
     (sigs, bands)
   }
@@ -265,7 +265,7 @@ object MaintenanceOps {
     val bands = pipe.repBandTable(signatures)
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    bands.repartition(n, col("band_id"), col("band_hash"))
+    graft.storage.TableStore.bandLayout(bands, n)
   }
 
   /** THE paragraph identity: non-empty paragraphs of each doc with their

@@ -52,10 +52,22 @@ object TextOps {
   def withLangId(df: DataFrame): DataFrame =
     df.withColumn("lang_pred", langIdUdf(col("text")))
 
-  /** BPE-ish token estimate: word pieces split at letter/digit boundaries and
-    * every 6 chars — a cheap stand-in for subword token counting.
+  /** REAL subword token count: the committed deterministic BPE tokenizer
+    * (`kernel.Bpe` — 512 merges trained in-repo on the seeded corpus,
+    * merges table a freshness-gated classpath fixture). UDF justified: the
+    * greedy merge loop is per-word iterative; the tokenizer object ships
+    * once per executor via the UDF closure and memoizes per thread.
     */
-  def subwordCount(text: Column): Column =
+  def subwordCountUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bpe = graft.kernel.Bpe.default
+    udf((text: String) => bpe.countTokens(text).toLong)
+  }
+
+  /** Cheap column-only subword ESTIMATE (word count + one piece per 6
+    * non-space chars): kept for pipelines that want a budget heuristic
+    * without the UDF; `subwordCountUdf` is the real operator.
+    */
+  def subwordEstimate(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")) +
         (length(regexp_replace(text, "\\s", "")) / lit(6)).cast("int"))
@@ -148,8 +160,11 @@ object TextOps {
     *
     * Rules enforced (thresholds are the published ones where applicable):
     * 50 ≤ n_words ≤ 100000; mean word length in [3, 10]; ≥ 80% of words
-    * contain a letter; ≥ 2 stopword occurrences; duplicate-line fraction
-    * ≤ 30%; top-bigram token coverage (2·count/n_words upper bound) ≤ 20%.
+    * contain a letter; ≥ 2 DISTINCT stop words present (the usual A1.1
+    * reading — `stop_hits`, total occurrences, ships alongside as a
+    * diagnostic but a doc containing only "the the" no longer passes);
+    * duplicate-line fraction ≤ 30%; top-bigram token coverage
+    * (2·count/n_words upper bound) ≤ 20%.
     */
   def gopherQuality(docs: DataFrame): DataFrame = {
     val words = when(length(trim(col("text"))) === 0,
@@ -166,6 +181,10 @@ object TextOps {
         size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long"))
       .withColumn("stop_hits",
         size(filter(col("words"), w => lower(w).isin(GopherStopwords: _*))).cast("long"))
+      // array_intersect dedups: distinct stop words PRESENT, not occurrences
+      .withColumn("stop_distinct",
+        size(array_intersect(transform(col("words"), w => lower(w)),
+          lit(GopherStopwords.toArray))).cast("long"))
       .withColumn("n_lines", size(col("lines")).cast("long"))
       .withColumn("n_dup_lines",
         (size(col("lines")) - size(array_distinct(col("lines")))).cast("long"))
@@ -185,7 +204,8 @@ object TextOps {
     // join only the scalar counters — carrying the words/lines/bigrams
     // arrays through the doc_id exchange would shuffle ~4x the corpus text
     val metrics = base.select(col("doc_id"), col("n_words"), col("sum_word_len"),
-      col("n_alpha"), col("stop_hits"), col("n_lines"), col("n_dup_lines"))
+      col("n_alpha"), col("stop_hits"), col("stop_distinct"), col("n_lines"),
+      col("n_dup_lines"))
     metrics.join(topBigram, Seq("doc_id"), "left")
       .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
       .withColumn("mean_word_len_x1000",
@@ -198,12 +218,12 @@ object TextOps {
         when(col("n_words") > 0,
           least(lit(1000L), expr("(2000 * top_bigram_count) div n_words"))).otherwise(lit(0L)))
       .select(col("doc_id"), col("n_words"), col("mean_word_len_x1000"),
-        col("alpha_ratio_x1000"), col("stop_hits"), col("dup_line_frac_x1000"),
-        col("top_bigram_frac_x1000"),
+        col("alpha_ratio_x1000"), col("stop_hits"), col("stop_distinct"),
+        col("dup_line_frac_x1000"), col("top_bigram_frac_x1000"),
         when(col("n_words").between(50L, 100000L) &&
           col("mean_word_len_x1000").between(3000L, 10000L) &&
           col("alpha_ratio_x1000") >= 800L &&
-          col("stop_hits") >= 2L &&
+          col("stop_distinct") >= 2L &&
           col("dup_line_frac_x1000") <= 300L &&
           col("top_bigram_frac_x1000") <= 200L, lit(1)).otherwise(lit(0)).as("pass"))
   }

@@ -466,10 +466,10 @@ final class DedupPipeline(
         Seq("signatures")) {
       val all = repBandTable(sigs0, Some(reps))
       // co-locate by band key only when the table is being persisted for
-      // probes/resume (the Iceberg layout analog: partition by band_id,
-      // bucket(band_hash)); in the fused run candidateStage shuffles on the
-      // packed band key anyway — an extra exchange here would be pure waste
-      if (ledger.isDefined) all.repartition(shuffleN, col("band_id"), col("band_hash"))
+      // probes/resume (TableStore.bandLayout — THE band-table layout
+      // contract); in the fused run candidateStage shuffles on the packed
+      // band key anyway — an extra exchange here would be pure waste
+      if (ledger.isDefined) graft.storage.TableStore.bandLayout(all, shuffleN)
       else all
     }
 

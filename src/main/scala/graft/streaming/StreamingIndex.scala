@@ -207,13 +207,13 @@ object StreamingIndex {
     * micro-batches. Stop-band policy carries over: a key exceeding `cap`
     * residents is tombstoned and emits nothing further (boilerplate).
     *
-    * Semantics vs the batch pipeline: a pair is emitted once per
-    * colliding band at ≥1 band match (cross-batch per-PAIR band counting
-    * would need unbounded pair state), so readers should dedup at the sink
-    * — `nearDupPairsDistinct` below is that public surface; recall ≥ the
-    * batch ≥2-band rule, precision guarded by the same score threshold.
-    * State size is ∝ the band table (≤ cap entries per distinct band key)
-    * — bound retention with a state TTL at the query level where needed.
+    * Semantics: this RAW surface emits a pair once per colliding band (an
+    * N-band collision = N rows); `nearDupPairsDistinct` below composes the
+    * per-pair band-counting stage (`bandCountedPairs`) on top and is the
+    * public sink surface — it enforces the batch `bandMatchesRequired`
+    * rule cross-batch and delivers each pair at most once. State size here
+    * is ∝ the band table (≤ cap entries per distinct band key) — bound
+    * retention with a state TTL at the query level where needed.
     *
     * Emission near the cap crossing: within each micro-batch, a key's rows
     * process in ascending doc_id order (Spark's group-iterator order is
@@ -305,28 +305,72 @@ object StreamingIndex {
         })
   }
 
-  /** At-most-once near-dup pair delivery — the public sink surface over
-    * `nearDupPairsStream` (which emits a pair once per colliding band):
-    * streaming dedup on (a, b), optionally bounded by a state TTL so pair
-    * state doesn't grow forever (`ttl` e.g. "1 hour": a re-collision later
-    * than the TTL may re-emit — the documented trade for bounded state).
+  /** Per-pair state for the cross-batch `bandMatchesRequired` rule: bands
+    * collided so far and whether the pair already emitted. */
+  final case class PairBands(n: Int, emitted: Boolean)
+
+  /** Batch-parity band counting over the per-band pair stream
+    * (≅ the batch `n_bands >= bandMatchesRequired` filter,
+    * /root/reference/mcrit/storage/MongoDbStorage.py:897-930 with
+    * BAND_MATCHES_REQUIRED=2): the band-state stage emits each (pair, band)
+    * at most once by construction — once both docs are residents of a band
+    * key neither re-verifies, and a tombstoned key never retains anything —
+    * so counting a pair's ARRIVALS counts its distinct colliding bands.
+    * A pair emits downstream exactly once, the moment its cumulative count
+    * reaches `minBands`, including when the qualifying collisions land in
+    * different micro-batches. Also subsumes at-most-once delivery (the
+    * `emitted` flag), so no separate dropDuplicates stage is needed.
+    *
+    * `ttl` bounds the per-pair state (the same bounded-state trade
+    * `dropDuplicatesWithinWatermark` made here before): state idle longer
+    * than the TTL is dropped, so band collisions spread further apart than
+    * the TTL restart the count (under-emission) and an already-emitted
+    * pair may re-emit on a later re-collision (duplicate delivery) — both
+    * bounded-state artifacts a sink-side distinct absorbs.
+    */
+  def bandCountedPairs(pairs: Dataset[StreamPair], minBands: Int,
+      ttl: Option[String] = None): Dataset[StreamPair] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(minBands >= 1, s"minBands must be >= 1, got $minBands")
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    pairs.groupByKey(p => (p.a, p.b))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: (Long, Long), rows: Iterator[StreamPair], state: GroupState[PairBands]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(PairBands(0, emitted = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StreamPair]
+            rows.foreach { p =>
+              if (!st.emitted) {
+                val n = st.n + 1
+                st = PairBands(n, n >= minBands)
+                if (st.emitted) out += p
+              }
+            }
+            state.update(st)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
+  /** At-most-once near-dup pair delivery under the batch
+    * `cfg.bandMatchesRequired` rule — the public sink surface: the raw
+    * per-band stream feeds `bandCountedPairs`, so a pair colliding in only
+    * one band is NOT delivered (exactly the batch ≥2-band semantics,
+    * cross-batch) and a qualifying pair is delivered exactly once. `ttl`
+    * bounds the per-pair counter state (see `bandCountedPairs`).
     */
   def nearDupPairsDistinct(spark: SparkSession, docs: DataFrame,
       cfg: GraftConfig = GraftConfig.default, cap: Int = 500,
       ttl: Option[String] = None, firstSeenOnly: Boolean = false): DataFrame = {
-    val pairs = (if (firstSeenOnly) nearDupPairsStreamDeduped(spark, docs, cfg, cap)
-      else nearDupPairsStream(spark, docs, cfg, cap)).toDF()
-    distinctPairs(pairs, ttl)
+    val pairs = if (firstSeenOnly) nearDupPairsStreamDeduped(spark, docs, cfg, cap)
+      else nearDupPairsStream(spark, docs, cfg, cap)
+    bandCountedPairs(pairs, cfg.bandMatchesRequired, ttl).toDF()
   }
-
-  private def distinctPairs(pairs: DataFrame, ttl: Option[String]): DataFrame =
-    ttl match {
-      case Some(d) => pairs
-        .withColumn("emit_ts", current_timestamp())
-        .withWatermark("emit_ts", d)
-        .dropDuplicatesWithinWatermark("a", "b")
-      case None => pairs.dropDuplicates("a", "b")
-    }
 
   /** One row per streamed doc from the sign-once cascade head
     * (`sigVerdictStream`): the FULL signature plus the exact-dup verdict
@@ -404,12 +448,14 @@ object StreamingIndex {
     bandPostingsFromSigs(spark, sigs, cfg, simHashChannel, simHashMaxHamming)
 
   /** Cascade TAIL: at-most-once near-dup pairs over an ALREADY-SIGNED
-    * stream (caller pre-filters to first-seen rows) — no re-signing.
+    * stream (caller pre-filters to first-seen rows) — no re-signing; same
+    * `bandMatchesRequired` counting as `nearDupPairsDistinct`.
     */
   def nearDupPairsDistinctFromSignedStream(spark: SparkSession,
       sigs: DataFrame, cfg: GraftConfig = GraftConfig.default,
       cap: Int = 500, ttl: Option[String] = None): DataFrame =
-    distinctPairs(nearDupPairsFromSigs(spark, sigs, cfg, cap).toDF(), ttl)
+    bandCountedPairs(nearDupPairsFromSigs(spark, sigs, cfg, cap),
+      cfg.bandMatchesRequired, ttl).toDF()
 
   /** One output row per streamed doc: is it an exact duplicate of anything
     * seen earlier on the stream? */

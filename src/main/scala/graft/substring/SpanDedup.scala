@@ -40,6 +40,47 @@ import graft.kernel.TextNorm
   */
 object SpanDedup {
 
+  /** Bounded smallest-k distinct aggregator for the partner cap: the
+    * aggregation BUFFER never holds more than k ids (a sorted array trimmed
+    * on every insert), so `maxPartners` bounds memory where it is spent —
+    * the earlier `slice(sort_array(collect_set(a)), 1, k)` form computed
+    * the same smallest-k-distinct answer but buffered a hot doc's FULL
+    * partner set first (≈ anchors × maxAnchorGroup ids worst-case).
+    * Semantics are identical by construction (asserted property-style by
+    * test): binary-search insertion dedups like collect_set, keeps
+    * ascending order like sort_array, and trimming above k ids can never
+    * evict a smallest-k member. The buffer is a plain Array[Long] — a
+    * NATIVE ExpressionEncoder on both sides (the obvious TreeSet buffer
+    * needs kryo, which cannot roundtrip Scala's red-black tree through a
+    * shuffle), and k is small (64 default) so O(k) insertion is noise.
+    */
+  private[graft] class SmallestKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    // invariant: buffer sorted ascending, distinct, length ≤ k
+    def reduce(b: Array[Long], a: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(b, a)
+      if (idx >= 0) return b                       // already present
+      val ins = -idx - 1
+      if (b.length >= k && ins >= k) return b      // ≥ current max of a full buffer
+      val merged = new Array[Long](b.length + 1)
+      System.arraycopy(b, 0, merged, 0, ins)
+      merged(ins) = a
+      System.arraycopy(b, ins, merged, ins + 1, b.length - ins)
+      if (merged.length > k) java.util.Arrays.copyOf(merged, k) else merged
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var r = x
+      var i = 0
+      while (i < y.length) { r = reduce(r, y(i)); i += 1 }
+      r
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Merged [start, end) token intervals of `own` covered by a common run
     * of ≥ minRun tokens with ANY partner sequence. Order-insensitive in
     * `partners`.
@@ -98,9 +139,10 @@ object SpanDedup {
     // (so a chain 1→2→3 removes the span from 2 and 3 even when (1,3) was
     // never a candidate). Partner cap keeps the smallest ids — the most
     // authoritative sources under this order.
+    val smallestK = udaf(new SmallestKAgg(maxPartners), org.apache.spark.sql.Encoders.scalaLong)
     val partners = pairs
       .groupBy(col("b"))
-      .agg(slice(sort_array(collect_set(col("a"))), 1, maxPartners).as("partner_ids"))
+      .agg(smallestK(col("a")).as("partner_ids"))
       .select(col("b").as("doc_id"), explode(col("partner_ids")).as("pid"))
       .join(hashed.select(col("doc_id").as("pid"), col("hashes").as("p_hashes")), "pid")
       .groupBy("doc_id")

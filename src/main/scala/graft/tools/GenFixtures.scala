@@ -21,6 +21,7 @@ object GenFixtures {
   val perSf: Seq[String] = Seq(
     "q_minhash_pairs", "q_minhash_clusters", "q_simhash", "q_langid",
     "q_substring", "q_dedup_spans", "q_cross_compare", "q_query_match",
+    "q_subword",
     "q_ann_lsh", "q_ann_ivf", "q_cosine_dups", "q_semdedup")
 
   /** dir-independent queries (synthetic media corpus). */
@@ -28,6 +29,17 @@ object GenFixtures {
 
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/root/repo/fixtures"
+    // optional filter: remaining args name the only queries to regenerate
+    // (kernel changes rarely touch every fixture family; a full regen also
+    // churns byte-identical parquet in git)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args.drop(1).toSet) else None
+    def wanted(n: String) = only.forall(_.contains(n))
+    // the BPE merges resource first: q_subword's fixture below is computed
+    // THROUGH the committed tokenizer, which GenBpeMerges regenerates.
+    // NOTE: a changed merges file needs a recompile before the new resource
+    // is on the classpath — run GenBpeMerges, `sbt compile`, then this.
+    if (only.isEmpty) GenBpeMerges.main(Array.empty)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -36,18 +48,32 @@ object GenFixtures {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (sf <- Seq("sf0.001", "sf0.01"); name <- perSf) {
+    for (sf <- Seq("sf0.001", "sf0.01"); name <- perSf if wanted(name)) {
       val out = s"$root/$sf/$name"
       SparkEntry.queries(name)(spark, s"/root/testdata/$sf")
         .coalesce(1).write.mode("overwrite").parquet(out)
       println(s"[fixtures] wrote $out")
     }
-    for (name <- anySf) {
+    for (name <- anySf if wanted(name)) {
       val out = s"$root/any/$name"
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
         .coalesce(1).write.mode("overwrite").parquet(out)
       println(s"[fixtures] wrote $out")
     }
     spark.stop()
+  }
+}
+
+/** Writes the committed BPE merges resource (see `kernel.Bpe`). Spark-free;
+  * run this, `sbt compile` (so the classpath resource reloads), then
+  * GenFixtures for q_subword. */
+object GenBpeMerges {
+  def main(args: Array[String]): Unit = {
+    val mergesPath = java.nio.file.Paths.get(
+      "/root/repo/src/main/resources/graft/bpe_merges.txt")
+    java.nio.file.Files.createDirectories(mergesPath.getParent)
+    java.nio.file.Files.write(mergesPath,
+      graft.kernel.Bpe.render(graft.kernel.Bpe.trainDefault()).getBytes("UTF-8"))
+    println(s"[fixtures] wrote $mergesPath")
   }
 }

@@ -47,4 +47,17 @@ class FixtureFreshnessSpec extends SparkTestBase {
         SparkEntry.queries(name)(spark, "/root/testdata/sf0.01"),
         s"$FixRoot/any/$name")
     }
+
+  test("committed BPE merges resource is fresh") {
+    // same closure as the parquet gate: a stale merges table would make
+    // q_subword's fixture and the driver output agree on stale counts
+    val fresh = graft.kernel.Bpe.trainDefault()
+    val committed = graft.kernel.Bpe.default.merges
+    val firstDiff = fresh.zip(committed).indexWhere { case (a, b) => a != b }
+    assert(fresh == committed,
+      s"bpe_merges.txt is STALE relative to the current trainer/corpus " +
+        s"(${fresh.length} fresh vs ${committed.length} committed merges; first diff " +
+        s"at $firstDiff); if intentional, regenerate with runMain " +
+        "graft.tools.GenFixtures, then RECOMPILE so the resource reloads")
+  }
 }

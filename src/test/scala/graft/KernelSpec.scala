@@ -302,3 +302,47 @@ class SimHashSpec extends AnyFunSuite {
     }
   }
 }
+
+class BpeSpec extends AnyFunSuite {
+  import graft.kernel.Bpe
+
+  test("training merges the most frequent pair first (Sennrich worked example)") {
+    // classic corpus: {low×5, lower×2, newest×6, widest×3} — the most
+    // frequent pair is (e,s) with freq 9 (newest+widest), then (es,t) 9
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.train(freq, 4)
+    assert(merges.take(2) == Vector(("e", "s"), ("es", "t")), merges.toString)
+    // with 'est' merged, (est, </w>) has freq 9 — next
+    assert(merges(2) == ("est", Bpe.EndOfWord), merges.toString)
+  }
+
+  test("encode applies merges greedily and falls back to characters") {
+    val bpe = new Bpe(Vector(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
+    assert(bpe.encode("newest") == Vector("n", "e", "w", "est</w>"))
+    // unseen word: no merge applies — character tokens + end marker
+    assert(bpe.encode("zzz") == Vector("z", "z", "z", Bpe.EndOfWord))
+    assert(bpe.encode("") == Vector.empty)
+  }
+
+  test("countTokens is whitespace-robust and deterministic") {
+    val bpe = new Bpe(Vector(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
+    val n = bpe.countTokens("Newest  newest\n NEWEST")
+    assert(n == 12, s"3 × 4 subwords, case/whitespace-insensitive: $n")
+    assert(bpe.countTokens("") == 0 && bpe.countTokens(null) == 0)
+  }
+
+  test("training is deterministic and the render/parse roundtrip is exact") {
+    val a = Bpe.train(Map("alpha" -> 3L, "alpine" -> 2L, "beta" -> 4L), 16)
+    val b = Bpe.train(Map("beta" -> 4L, "alpine" -> 2L, "alpha" -> 3L), 16)
+    assert(a == b, "insertion order must not leak into the merge table")
+    assert(Bpe.parse(Bpe.render(a)) == a)
+  }
+
+  test("the committed default tokenizer loads and compresses corpus words") {
+    val bpe = Bpe.default
+    assert(bpe.merges.length == Bpe.DefaultMerges)
+    // a high-frequency corpus word must have merged well below characters
+    val text = "the and for with from that this page site"
+    assert(bpe.countTokens(text) < text.replace(" ", "").length + 9)
+  }
+}

@@ -615,6 +615,89 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 3, s"expected the 3 pairs exactly once: ${rows.toSeq}")
   }
 
+  test("bandCountedPairs enforces the ≥2-band rule cross-batch and emits once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIndex.StreamPair
+    val mem = MemoryStream[StreamPair]
+    val out = graft.streaming.StreamingIndex.bandCountedPairs(mem.toDS(), minBands = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("band_counted")
+      .outputMode("append").start()
+    // batch 1: pair (1,2) collides in ONE band; (3,4) too
+    mem.addData(StreamPair(1, 2, 90.0), StreamPair(3, 4, 80.0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from band_counted").isEmpty,
+      "no pair may emit below bandMatchesRequired")
+    // batch 2: (1,2) collides in a SECOND band → emits now (cross-batch
+    // count); (3,4) stays at one band → never emits
+    mem.addData(StreamPair(1, 2, 90.0))
+    q.processAllAvailable()
+    // batch 3: a third collision of an already-emitted pair is silent
+    mem.addData(StreamPair(1, 2, 90.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select a, b from band_counted").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(rows == Seq((1L, 2L)), s"exactly one (1,2) row, no (3,4): $rows")
+  }
+
+  test("distinct near-dup sink withholds a 1-band-only colliding pair end-to-end") {
+    // construct real variants whose SIGNATURES collide in exactly 1 vs ≥2
+    // of the 20 bands while both score above the matching threshold — the
+    // batch pipeline drops the first and keeps the second; the streaming
+    // public surface must agree
+    val cfg = graft.kernel.GraftConfig.default
+    val kernel = new graft.pipeline.DocSig.Kernel(cfg)
+    val mh = new graft.kernel.MinHasher(cfg)
+    val bands = new graft.kernel.Bands(cfg)
+    val baseToks = (1 to 40).map(w => s"eb${('a' + w % 26).toChar}$w")
+    val base = baseToks.mkString(" ")
+    def sigOf(text: String) = kernel.compute("probe", text).sig
+    def bandsOf(sig: Array[Byte]) = bands.bandHashes(mh.unpack(sig))
+    val baseSig = sigOf(base)
+    val baseBands = bandsOf(baseSig)
+    // seeded search over random replacement sets: moderate similarity puts
+    // the per-band collision count in the 0-5 range with scores straddling
+    // the threshold — enough trials deterministically yield both flavors
+    def probe(trial: Int): (String, Int, Double) = {
+      val rng = new scala.util.Random(trial)
+      val m = 4 + rng.nextInt(4)
+      val repl = rng.shuffle((0 until 40).toList).take(m).toSet
+      val text = baseToks.zipWithIndex
+        .map { case (t, i) => if (repl(i)) s"sw${i}_$trial" else t }.mkString(" ")
+      val sig = sigOf(text)
+      val shared = bandsOf(sig).zip(baseBands).count { case (x, y) => x == y }
+      (text, shared, graft.kernel.MinHasher.score(baseSig, sig, cfg.signatureBits))
+    }
+    val candidates = (0 until 400).iterator.map(probe)
+      .scanLeft((Option.empty[String], Option.empty[String])) { case ((o, t), c) =>
+        (o.orElse(if (c._2 == 1 && c._3 > cfg.matchingThreshold) Some(c._1) else None),
+          t.orElse(if (c._2 >= 2 && c._3 > cfg.matchingThreshold) Some(c._1) else None))
+      }
+      .find { case (o, t) => o.nonEmpty && t.nonEmpty }
+    assert(candidates.nonEmpty, "search must find both flavors within 400 trials")
+    val oneText = candidates.get._1.get
+    val twoText = candidates.get._2.get
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingIndex
+      .nearDupPairsDistinct(spark, mem.toDF().toDF("url", "text"))
+      .writeStream.format("memory").queryName("neardup_minbands")
+      .outputMode("append").start()
+    mem.addData(("base", base))
+    q.processAllAvailable()
+    mem.addData(("oneband", oneText), ("twoband", twoText))
+    q.processAllAvailable()
+    val got = spark.sql("select a, b from neardup_minbands").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    def id(u: String) = graft.hash.SimHash.hash64("doc:" + u)
+    def key(x: String, y: String) = (math.min(id(x), id(y)), math.max(id(x), id(y)))
+    assert(got.contains(key("base", "twoband")), s"≥2-band pair must deliver: $got")
+    assert(!got.contains(key("base", "oneband")),
+      s"1-band-only pair must be withheld by the batch rule: $got")
+  }
+
   test("deduped band stream: a 100-copy burst bands one representative, cross-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]

@@ -640,4 +640,48 @@ class ResumeSpec extends SparkTestBase {
       .where(col("lrows") =!= col("rows"))
     assert(mismatch.count() == 0, "per-partition lineage must sum to the stage row counts")
   }
+
+  test("metrics retention sweep keeps the newest runs; swept ledger still resumes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    val corpus = CorpusGen.generate(spark, sf = 0.002, seed = 42L).cache()
+    val cfg = graft.kernel.GraftConfig.default
+    def mkPipe() = new DedupPipeline(spark, cfg,
+      ledger = Some(new graft.ledger.Ledger(spark, tmp, cfg.configHash)))
+    def rmStage(prefix: String): Unit =
+      new java.io.File(tmp).listFiles().filter(_.getName.startsWith(prefix))
+        .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+
+    val expected = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    // accumulate metrics runs: force the tail stages to recompute 4 times
+    for (_ <- 1 to 4) {
+      rmStage("components"); rmStage("verified")
+      mkPipe().run(corpus, fromHtml = true).count()
+    }
+    val l = new graft.ledger.Ledger(spark, tmp, cfg.configHash)
+    val before = l.metrics().get.groupBy("stage", "descriptor").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(before >= 5, s"setup must accumulate runs, got max $before per stage")
+
+    l.sweepMetrics(keepRuns = 2)
+    val perStage = l.metrics().get.groupBy("stage", "descriptor").count().collect()
+    assert(perStage.forall(_.getLong(2) <= 2),
+      s"sweep must bound runs per (stage, descriptor): ${perStage.mkString(",")}")
+    // lineage swept consistently: no orphan run_ids
+    val orphan = l.partitionMetrics().get.select("run_id").distinct()
+      .join(l.metrics().get.select("run_id").distinct(), Seq("run_id"), "left_anti")
+    assert(orphan.count() == 0, "lineage must not retain swept run_ids")
+
+    // stage dirs untouched by the metrics sweep → full resume, identical output
+    val resumed = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(resumed == expected, "swept ledger must resume to identical clusters")
+
+    // stale-stage sweep: keeping 1 dir per stage name still recomputes fine
+    l.sweepStaleStages(keepPerStage = 1)
+    rmStage("components") // mixed state: some dirs swept, some deleted
+    val after = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(after == expected, "recompute after stage sweep must be identical")
+  }
 }

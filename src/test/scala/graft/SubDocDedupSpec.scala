@@ -183,7 +183,8 @@ class GopherQualitySpec extends SparkTestBase {
     assert(r.getAs[Long]("n_words") == 6)
     assert(r.getAs[Long]("mean_word_len_x1000") == 17000 / 6) // 17 chars / 6 words
     assert(r.getAs[Long]("alpha_ratio_x1000") == 1000)
-    assert(r.getAs[Long]("stop_hits") == 2) // the ×2
+    assert(r.getAs[Long]("stop_hits") == 2)     // the ×2 (occurrences)
+    assert(r.getAs[Long]("stop_distinct") == 1) // only "the" present
     assert(r.getAs[Long]("dup_line_frac_x1000") == 0)
     // every bigram unique -> coverage 2/6
     assert(r.getAs[Long]("top_bigram_frac_x1000") == 2000 / 6)
@@ -196,12 +197,17 @@ class GopherQualitySpec extends SparkTestBase {
       (1L, "too short to pass the word floor"),       // n_words < 50
       (2L, ("spam " * 60).trim),                      // top-bigram coverage 100%
       (3L, Array.fill(5)("the same line of text with that and have").mkString("\n")), // dup lines
-      (4L, (1 to 60).map(_ => "12345").mkString(" ")) // no alphabetic words
+      (4L, (1 to 60).map(_ => "12345").mkString(" ")), // no alphabetic words
+      // ≥2 stopword OCCURRENCES but only ONE distinct ("the") — the A1.1
+      // distinct reading must fail it (every other rule passes: 60 distinct
+      // filler words, letters, unique lines/bigrams)
+      (5L, ((1 to 58).map(i => s"word$i") ++ Seq("the", "the")).mkString(" "))
     ).toDF("doc_id", "text")
     val out = graft.ops.TextOps.gopherQuality(docs)
       .select("doc_id", "pass").as[(Long, Int)].collect().toMap
     assert(out(0L) == 1, "clean doc must pass")
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 0)
+    assert(out(5L) == 0, "one distinct stopword must fail the distinct rule")
   }
 }
 
@@ -309,6 +315,33 @@ class DecontaminationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark grams must broadcast:\n$plan")
+  }
+
+  test("oversized benchmark takes the shuffle-join fallback with identical output") {
+    val passage = (1 to 8).map(i => s"p${('a' + i).toChar}").mkString(" ")
+    val bench = Seq((1000L, s"eval question intro $passage answer choices"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"some page text then $passage and a tail"),
+      (2L, (1 to 30).map(i => s"c${('a' + i % 26).toChar}$i").mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    // gate at 0 grams forces the fallback on the same tiny benchmark; with
+    // the session auto-broadcast disabled, the ungated plan would otherwise
+    // still broadcast via Catalyst stats and mask the path difference
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fallback = graft.ops.DedupOps.decontaminate(train, bench, n = 5,
+        maxBroadcastGrams = 0L)
+      assert(!fallback.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "over-gate benchmark must not broadcast")
+      val hinted = graft.ops.DedupOps.decontaminate(train, bench, n = 5)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "the sub-gate path keeps the broadcast hint even with auto-broadcast off")
+      val a = fallback.orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+      val b = hinted.orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+      assert(a == b, s"fallback output must match the broadcast path: $a vs $b")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
 
@@ -498,6 +531,48 @@ class SpanDedupSpec extends SparkTestBase {
     val totalCopies = Seq(out(0L), out(1L), out(2L))
       .count(_._2.contains(excerpt))
     assert(totalCopies == 1)
+  }
+
+  test("smallest-k aggregator ≡ slice(sort_array(collect_set)) on random pairs") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(3000)((rng.nextInt(5).toLong, rng.nextInt(400).toLong))
+    val df = rows.toDF("b", "a")
+    for (k <- Seq(1, 8, 64, 1000)) {
+      val bounded = df.groupBy("b")
+        .agg(udaf(new SpanDedup.SmallestKAgg(k),
+          org.apache.spark.sql.Encoders.scalaLong)(col("a")).as("p"))
+        .as[(Long, Array[Long])].collect().map { case (b, p) => b -> p.toSeq }.toMap
+      val reference = df.groupBy("b")
+        .agg(slice(sort_array(collect_set(col("a"))), 1, k).as("p"))
+        .as[(Long, Array[Long])].collect().map { case (b, p) => b -> p.toSeq }.toMap
+      assert(bounded == reference, s"k=$k")
+    }
+  }
+
+  test("hot doc quoted by many: bounded buffer, identical rewrite") {
+    // 120 early docs all containing the same excerpt + one LATE doc (max
+    // id) quoting it: the late doc's candidate partner set is every early
+    // doc, far above maxPartners=4 — the cap must bound the buffer while
+    // the rewrite still cuts the span (any partner suffices semantically)
+    val excerpt = toks("hot", 30).mkString(" ")
+    // letter-only per-doc prefixes (digit runs normalize to '0' and would
+    // alias every prefix into one giant duplicate)
+    val docs = ((0 until 120).map { i =>
+      val tag = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      (i.toLong, toks(s"u$tag", 40).mkString(" ") + " " + excerpt)
+    } :+ (999L, toks("late", 40).mkString(" ") + " " + excerpt))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(spark, docs,
+        window = 8, winnow = 4, minRun = 11, maxPartners = 4,
+        maxAnchorGroup = 500)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._4 == 0, "first occurrence keeps the span")
+    assert(out(999L)._4 == 30 && !out(999L)._2.contains(excerpt),
+      "late hot doc loses the span under the partner cap")
+    assert((1 until 120).forall(i => out(i.toLong)._4 == 30),
+      s"every non-first copy is cut; offenders: ${(1 until 120)
+        .filter(i => out(i.toLong)._4 != 30)
+        .map(i => (i, out(i.toLong)._4)).take(12)}")
   }
 
   test("overlapping spans from different partners merge into one cut") {
