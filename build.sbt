@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through VERBATIM instead of re-logging it
+// with an "[info] " prefix: graft.Bench prints ONE machine-readable JSON
+// line that the driver parses from captured sbt stdout, and the prefix is
+// why BENCH_r03..r05 recorded "parsed": null (the /tmp/graft-bench-last.json
+// fallback carries the same line either way).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -284,6 +284,30 @@ object Bench {
     // scheduling costs): 25× the table sf → ~290k docs at sf0.1
     val corpusSf = math.min(10.0, math.max(0.05, 25 * sf))
 
+    // ONE recover-and-rerun policy for BOTH timed sections (query pass and
+    // dedup levels — r5 only had it on the query pass, and the recorded
+    // dedup headline was a labeled storm): if the section entered hot or
+    // ended hot, back off while the window stays hot (bounded), and re-run
+    // the section once on recovery. Returns (finalPostProbe, reran,
+    // backoffs); a window that never recovers ships its >1 factor as the
+    // label. Threshold/backoff tuned here apply to both sections by
+    // construction.
+    val HotFactor = 1.5
+    def recoverAndRerun(section: String, enteredHot: Boolean, post: Probe,
+        maxBackoffs: Int)(rerun: () => Probe): (Probe, Boolean, Int) = {
+      var p = post
+      var backoffs = 0
+      if (!enteredHot && p.factor <= HotFactor) return (p, false, 0)
+      while (backoffs < maxBackoffs && p.factor > HotFactor) {
+        System.err.println(f"[bench] $section ran contended (post ${p.factor}%.2f); backing off 90s (${backoffs + 1}/$maxBackoffs)")
+        backoffs += 1; Thread.sleep(90000); p = contentionProbe()
+      }
+      if (p.factor <= HotFactor) {
+        System.err.println(s"[bench] window recovered; re-running $section")
+        (rerun(), true, backoffs)
+      } else (p, false, backoffs)
+    }
+
     // ---- contention gate: probe FIRST, back off (bounded) while hot ----
     // this startup probe doubles as the QUERY-pass pre-probe: the query
     // loop starts immediately after it, under the same bounded backoff
@@ -292,7 +316,7 @@ object Bench {
     warmKernel()
     var queriesPre = contentionProbe()
     var queriesPreBackoffs = 0
-    while (queriesPreBackoffs < 3 && queriesPre.factor > 1.5) {
+    while (queriesPreBackoffs < 3 && queriesPre.factor > HotFactor) {
       System.err.println(f"[bench] contended window before query pass (factor ${queriesPre.factor}%.2f); backing off 90s (${queriesPreBackoffs + 1}/3)")
       queriesPreBackoffs += 1
       Thread.sleep(90000)
@@ -303,7 +327,11 @@ object Bench {
     val headline = Seq("q_exact_dedup_groups", "q_token_count", "q_agg_rollup",
       "q_top_per_group", "q_argmax", "q_minhash_pairs", "q_minhash_clusters",
       "q_ngram_jaccard", "q_ann_lsh", "q_semdedup", "q_simhash", "q_event_window",
-      "q_para_dedup", "q_gopher_quality")
+      "q_para_dedup", "q_gopher_quality",
+      // r6: the remaining training-data-pipeline operators join the headline
+      // set (each < ~3 s warm at sf0.1) so every pipeline op has a
+      // per-round timing history, not just a one-off QueryTime table
+      "q_dedup_spans", "q_decontam", "q_subword", "q_url_canon")
     def timeAll(spark0: SparkSession): Seq[(String, Double)] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
@@ -325,23 +353,13 @@ object Bench {
     // tables). If the pass ended hot, back off (bounded) and re-run it
     // once in the recovered window; if the window never recovers, the >1
     // factor ships as the label.
-    var queriesPost = contentionProbe()
-    var queriesRerun = false
-    if (queriesPost.factor > 1.5) {
-      var b = 0
-      var p = queriesPost
-      while (b < 2 && p.factor > 1.5) {
-        System.err.println(f"[bench] query pass ended contended (factor ${p.factor}%.2f); backing off 90s (${b + 1}/2)")
-        b += 1; Thread.sleep(90000); p = contentionProbe()
-      }
-      if (p.factor <= 1.5) {
-        System.err.println("[bench] window recovered; re-running the query pass")
-        queriesRerun = true
+    val (qPost, queriesRerun, _) =
+      recoverAndRerun("query pass", enteredHot = false, contentionProbe(), 2) { () =>
         val (c2, q2) = runQueryPass()
         coldTimes = c2; queryTimes = q2
-        queriesPost = contentionProbe()
-      } else queriesPost = p
-    }
+        contentionProbe()
+      }
+    val queriesPost = qPost
     val coldTotal = coldTimes.map(_._2).sum
 
     // ---- dedup throughput at two parallelism levels ----
@@ -360,7 +378,7 @@ object Bench {
     // ships as factor_pre)
     var waits = 0
     var preDedup = contentionProbe()
-    while (waits < 3 && preDedup.factor > 1.5) {
+    while (waits < 3 && preDedup.factor > HotFactor) {
       System.err.println(s"[bench] window still contended before dedup levels; backing off 90s (${waits + 1}/3)")
       Thread.sleep(90000); waits += 1
       preDedup = contentionProbe()
@@ -397,24 +415,15 @@ object Bench {
     // re-run the headline local[32] level + the 1→4 criterion pair once
     // (best-of-2, ~6 min at sf0.1). A storm can now delay the artifact; it
     // can no longer BE the artifact unless it outlasts every backoff.
-    var postDedup = contentionProbe()
-    var dedupRerun = false
-    var dedupRerunBackoffs = 0
-    if (preDedup.factor > 1.5 || postDedup.factor > 1.5) {
-      var p = postDedup
-      while (dedupRerunBackoffs < 2 && p.factor > 1.5) {
-        System.err.println(f"[bench] dedup levels ran contended (pre ${preDedup.factor}%.2f, post ${p.factor}%.2f); backing off 90s (${dedupRerunBackoffs + 1}/2)")
-        dedupRerunBackoffs += 1; Thread.sleep(90000); p = contentionProbe()
-      }
-      if (p.factor <= 1.5) {
-        System.err.println("[bench] window recovered; re-running local[32] + the 1→4 pair")
-        dedupRerun = true
+    val (dPost, dedupRerun, dedupRerunBackoffs) =
+      recoverAndRerun("dedup levels (local[32] + the 1→4 pair)",
+        enteredHot = preDedup.factor > HotFactor, contentionProbe(), 2) { () =>
         r32 = Seq.fill(2)(dedupRun(32, 32, corpusPath, warmupPath))
         r1s = Seq.fill(2)(dedupRun(1, 1, corpusPath, tinyWarmupPath))
         r4s = Seq.fill(2)(dedupRun(4, 4, corpusPath, tinyWarmupPath))
-        postDedup = contentionProbe()
-      } else postDedup = p
-    }
+        contentionProbe()
+      }
+    val postDedup = dPost
 
     val (docs8, t8, _) = r8.minBy(_._2)
     val (docs32, t32, clusters) = r32.minBy(_._2)

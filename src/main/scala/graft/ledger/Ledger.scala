@@ -147,11 +147,19 @@ final class Ledger(spark: SparkSession, root: String, configHash: String,
         .where(col("run_id").isin(keptIds: _*)))
   }
 
-  /** Keep only the newest `keepPerStage` output dirs per stage NAME (by
-    * modification time): superseded descriptors — old configs, old corpus
-    * snapshots — otherwise accumulate a full stage output each. A swept
-    * descriptor that is requested again simply recomputes (`stage()` falls
-    * through to compute on a missing `_SUCCESS`).
+  /** Keep only the newest `keepPerStage` output dirs per stage NAME:
+    * superseded descriptors — old configs, old corpus snapshots — otherwise
+    * accumulate a full stage output each. A swept descriptor that is
+    * requested again simply recomputes (`stage()` falls through to compute
+    * on a missing `_SUCCESS`).
+    *
+    * "Newest" = the newest FILE inside each dir (falling back to the dir's
+    * own mtime when a dir is empty): object stores report pseudo-directory
+    * mtimes as 0/arbitrary, which would make the ordering a lottery and
+    * could evict the live descriptor — plain files carry real timestamps on
+    * HDFS/S3/local alike. Note retention is per stage NAME: several
+    * pipelines sharing one ledger root under different configs need
+    * `keepPerStage` ≥ the number of live configs, or they evict each other.
     */
   def sweepStaleStages(keepPerStage: Int = 2): Unit = {
     require(keepPerStage > 0, s"keepPerStage must be positive, got $keepPerStage")
@@ -160,9 +168,16 @@ final class Ledger(spark: SparkSession, root: String, configHash: String,
     val stageDirs = fs.listStatus(rootPath).filter(_.isDirectory)
       .filterNot(_.getPath.getName.startsWith("_"))
       .filter(_.getPath.getName.contains("-"))
+    def newestStamp(d: org.apache.hadoop.fs.FileStatus): Long = {
+      val files =
+        try fs.listStatus(d.getPath).filter(f => !f.isDirectory)
+        catch { case scala.util.control.NonFatal(_) => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      if (files.nonEmpty) files.map(_.getModificationTime).max
+      else d.getModificationTime
+    }
     stageDirs.groupBy(_.getPath.getName.reverse.dropWhile(_ != '-').drop(1).reverse)
       .foreach { case (_, dirs) =>
-        dirs.sortBy(-_.getModificationTime).drop(keepPerStage)
+        dirs.sortBy(d => (-newestStamp(d), d.getPath.getName)).drop(keepPerStage)
           .foreach(d => try fs.delete(d.getPath, true)
           catch { case scala.util.control.NonFatal(_) => () })
       }

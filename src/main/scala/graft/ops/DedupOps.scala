@@ -314,10 +314,15 @@ object DedupOps {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
         explode(array_distinct(orderedGrams(wordsCol, n))).as("gram"))
-    // count once, reuse the computed distinct set for the join (bench side
-    // is the small side by premise — this is one aggregate over it)
-    val benchGrams = grams(benchmark).select("gram").distinct().cache()
+    // the gate needs the distinct-gram count before the join plan is
+    // chosen; cache only across that count, then release — the join's
+    // action re-derives the gram set with one extra scan of the SMALL bench
+    // side, where leaving the cache pinned would accumulate ~200 MB of
+    // blocks per decontaminate() call until session end
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    benchGrams.cache()
     val nBench = benchGrams.count()
+    benchGrams.unpersist(blocking = false)
     val benchSide =
       if (nBench <= maxBroadcastGrams) broadcast(benchGrams)
       else {
@@ -334,9 +339,6 @@ object DedupOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(coalesce(col("n_hits"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
           .as("is_contaminated"))
-    // the cached gram set stays pinned only until the caller's action; an
-    // eager checkpoint here would force a second full pass over the corpus
-    // grams for callers that only count — leave lifetime to the session
     out
   }
 

@@ -63,15 +63,6 @@ object TextOps {
     udf((text: String) => bpe.countTokens(text).toLong)
   }
 
-  /** Cheap column-only subword ESTIMATE (word count + one piece per 6
-    * non-space chars): kept for pipelines that want a budget heuristic
-    * without the UDF; `subwordCountUdf` is the real operator.
-    */
-  def subwordEstimate(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")) +
-        (length(regexp_replace(text, "\\s", "")) / lit(6)).cast("int"))
-
   /** Canonical URL for revisit/mirror dedup keys — the standard web-pipeline
     * normalizations, applied as one deterministic column expression (pure
     * regexp_replace/regexp_extract chain, codegen, RE2-compatible patterns

@@ -327,6 +327,14 @@ object StreamingIndex {
     * the TTL restart the count (under-emission) and an already-emitted
     * pair may re-emit on a later re-collision (duplicate delivery) — both
     * bounded-state artifacts a sink-side distinct absorbs.
+    *
+    * UPGRADE NOTE (same hazard class as the band-key note above): this
+    * stage replaced the earlier `dropDuplicatesWithinWatermark` sink
+    * dedup, which changes the stateful-operator graph of any query built
+    * on it (`nearDupPairsDistinct`, the `--stream` cascade tail) — a
+    * restart from a checkpoint written BEFORE the change will fail or
+    * mis-map state. Upgrading in place needs a fresh checkpoint dir (the
+    * RocksDB/band state is rebuilt from the source on backfill).
     */
   def bandCountedPairs(pairs: Dataset[StreamPair], minBands: Int,
       ttl: Option[String] = None): Dataset[StreamPair] = {

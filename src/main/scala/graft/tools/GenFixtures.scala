@@ -36,10 +36,25 @@ object GenFixtures {
       if (args.length > 1) Some(args.drop(1).toSet) else None
     def wanted(n: String) = only.forall(_.contains(n))
     // the BPE merges resource first: q_subword's fixture below is computed
-    // THROUGH the committed tokenizer, which GenBpeMerges regenerates.
-    // NOTE: a changed merges file needs a recompile before the new resource
-    // is on the classpath — run GenBpeMerges, `sbt compile`, then this.
-    if (only.isEmpty) GenBpeMerges.main(Array.empty)
+    // THROUGH the committed tokenizer (`Bpe.default`, a CLASSPATH resource),
+    // which GenBpeMerges regenerates on disk. A changed merges file needs a
+    // recompile before the new resource is on the classpath, so a one-shot
+    // run after a trainer/corpus change would silently pin q_subword
+    // fixtures computed with the OLD tokenizer next to NEW committed
+    // merges. Guard: abort before writing any fixture if the classpath
+    // copy differs from what the trainer produces now.
+    if (only.forall(_.contains("q_subword"))) {
+      if (only.isEmpty) GenBpeMerges.main(Array.empty)
+      val fresh = graft.kernel.Bpe.render(graft.kernel.Bpe.trainDefault())
+      val onCp = {
+        val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+        require(in != null, "missing /graft/bpe_merges.txt on the classpath")
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      require(onCp == fresh,
+        "classpath bpe_merges.txt is stale vs the current trainer — " +
+          "run `sbt compile` to refresh the resource, then re-run GenFixtures")
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
