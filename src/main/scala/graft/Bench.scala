@@ -350,11 +350,12 @@ object Bench {
     var (coldTimes, queryTimes) = runQueryPass()
     // post-queries probe: the pre-gate can't see the window turning DURING
     // the pass (the exact failure mode of the r3/r4 recorded per-query
-    // tables). If the pass ended hot, back off (bounded) and re-run it
-    // once in the recovered window; if the window never recovers, the >1
-    // factor ships as the label.
+    // tables). If the pass ENTERED hot (pre-gate exhausted its backoffs) or
+    // ended hot, back off (bounded) and re-run it once in the recovered
+    // window; if the window never recovers, the >1 factor ships as the label.
     val (qPost, queriesRerun, _) =
-      recoverAndRerun("query pass", enteredHot = false, contentionProbe(), 2) { () =>
+      recoverAndRerun("query pass",
+        enteredHot = queriesPre.factor > HotFactor, contentionProbe(), 2) { () =>
         val (c2, q2) = runQueryPass()
         coldTimes = c2; queryTimes = q2
         contentionProbe()

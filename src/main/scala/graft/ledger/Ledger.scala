@@ -137,14 +137,30 @@ final class Ledger(spark: SparkSession, root: String, configHash: String,
     // and the first swap below replaces _metrics' files — a lazy semi-join
     // for the _lineage rewrite would re-list the swapped-away files and
     // fail. The kept set is ≤ keepRuns × #stages rows — driver-trivial.
-    val keptIds = m.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= keepRuns)
-      .select("run_id").distinct().collect().map(_.getString(0)).toSeq
+    def keptRunIds(df: DataFrame): Set[String] =
+      // collapse to one row per run first — _lineage has one row per output
+      // PARTITION, and ranking raw rows would let one chatty run crowd the
+      // whole keep window for its (stage, descriptor) group
+      df.groupBy("stage", "descriptor", "run_id").agg(max("ts").as("ts"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= keepRuns)
+        .select("run_id").distinct().collect().map(_.getString(0)).toSet
+    val keptIds = keptRunIds(m)
+    // the _lineage keep-set is the UNION of both tables' newest runs:
+    // recordMetrics appends _lineage BEFORE _metrics and swallows failures,
+    // so a run whose summary append died exists only in _lineage — keying
+    // its retention off _metrics alone would delete the NEWEST run's
+    // per-partition rows (and an empty _metrics would empty _lineage
+    // entirely). Collected eagerly for the same swap-safety reason as above.
+    val lineageKept =
+      if (fsExists(s"$root/_lineage"))
+        keptIds ++ keptRunIds(store.read(spark, s"$root/_lineage"))
+      else keptIds
     swapRewrite("_metrics", store.read(spark, s"$root/_metrics")
-      .where(col("run_id").isin(keptIds: _*)))
+      .where(col("run_id").isin(keptIds.toSeq: _*)))
     if (fsExists(s"$root/_lineage"))
       swapRewrite("_lineage", store.read(spark, s"$root/_lineage")
-        .where(col("run_id").isin(keptIds: _*)))
+        .where(col("run_id").isin(lineageKept.toSeq: _*)))
   }
 
   /** Keep only the newest `keepPerStage` output dirs per stage NAME:
@@ -165,9 +181,14 @@ final class Ledger(spark: SparkSession, root: String, configHash: String,
     require(keepPerStage > 0, s"keepPerStage must be positive, got $keepPerStage")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootPath)) return
+    // deletion is gated on the exact `<stage>-<16-hex-descriptor>` shape
+    // `path()` writes — the ledger root is a user-supplied checkpoint dir,
+    // and a loose "contains a dash" heuristic would recursively delete
+    // co-located non-ledger dirs (corpus-v1, run-2026-08-18, ...)
+    val descriptorDir = "^.+-[0-9a-f]{16}$".r
     val stageDirs = fs.listStatus(rootPath).filter(_.isDirectory)
       .filterNot(_.getPath.getName.startsWith("_"))
-      .filter(_.getPath.getName.contains("-"))
+      .filter(d => descriptorDir.matches(d.getPath.getName))
     def newestStamp(d: org.apache.hadoop.fs.FileStatus): Long = {
       val files =
         try fs.listStatus(d.getPath).filter(f => !f.isDirectory)

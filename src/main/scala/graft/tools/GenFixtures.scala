@@ -44,14 +44,13 @@ object GenFixtures {
     // merges. Guard: abort before writing any fixture if the classpath
     // copy differs from what the trainer produces now.
     if (only.forall(_.contains("q_subword"))) {
-      if (only.isEmpty) GenBpeMerges.main(Array.empty)
+      // regenerate the on-disk resource on FILTERED runs too — otherwise a
+      // `GenFixtures <root> q_subword` after a trainer change could never
+      // satisfy the guard below (sbt compile would just re-package the
+      // stale resource forever)
+      GenBpeMerges.main(Array.empty)
       val fresh = graft.kernel.Bpe.render(graft.kernel.Bpe.trainDefault())
-      val onCp = {
-        val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
-        require(in != null, "missing /graft/bpe_merges.txt on the classpath")
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      }
-      require(onCp == fresh,
+      require(graft.kernel.Bpe.committedResourceText() == fresh,
         "classpath bpe_merges.txt is stale vs the current trainer — " +
           "run `sbt compile` to refresh the resource, then re-run GenFixtures")
     }

@@ -672,13 +672,38 @@ class ResumeSpec extends SparkTestBase {
       .join(l.metrics().get.select("run_id").distinct(), Seq("run_id"), "left_anti")
     assert(orphan.count() == 0, "lineage must not retain swept run_ids")
 
+    // a run whose _metrics summary append FAILED (recordMetrics swallows
+    // those) exists only in _lineage — the sweep must key its lineage
+    // retention off _lineage's own newest runs too, not _metrics alone
+    import org.apache.spark.sql.functions.{lit, current_timestamp}
+    val orphanRow = l.partitionMetrics().get.limit(1)
+      .withColumn("run_id", lit("lineage-only-run"))
+      .withColumn("ts", current_timestamp())
+    orphanRow.write.mode("append").parquet(s"$tmp/_lineage")
+    l.sweepMetrics(keepRuns = 2)
+    assert(l.partitionMetrics().get
+      .where(col("run_id") === "lineage-only-run").count() == 1,
+      "newest lineage-only run (failed metrics append) must survive the sweep")
+
     // stage dirs untouched by the metrics sweep → full resume, identical output
     val resumed = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
       .map(r => (r.getString(0), r.getLong(2))).toSeq
     assert(resumed == expected, "swept ledger must resume to identical clusters")
 
+    // non-ledger dirs that merely contain a dash must NOT be swept: the
+    // root is a user-supplied checkpoint dir and deletion is gated on the
+    // exact <stage>-<16-hex> descriptor shape
+    val bystander = new java.io.File(tmp, "corpus-v1")
+    bystander.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(bystander.toString, "data.txt"), "keep me")
+    val bystander2 = new java.io.File(tmp, "run-2026-08-18")
+    bystander2.mkdirs()
+
     // stale-stage sweep: keeping 1 dir per stage name still recomputes fine
     l.sweepStaleStages(keepPerStage = 1)
+    assert(bystander.exists() && bystander2.exists(),
+      "sweepStaleStages must not delete non-descriptor dirs under the root")
     rmStage("components") // mixed state: some dirs swept, some deleted
     val after = mkPipe().run(corpus, fromHtml = true).orderBy("url").collect()
       .map(r => (r.getString(0), r.getLong(2))).toSeq
