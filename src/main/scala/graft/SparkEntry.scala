@@ -144,6 +144,39 @@ object SparkEntry {
         lit("&fbclid=Abc123#Frag"))).as("canon_url"))),
     "q_lang_dist" -> ((s, dir) => docs(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("cnt"))),
+    // PII redaction over text with deterministically embedded PII (the
+    // documents corpus itself carries none) — email/IP/phone derived from
+    // doc_id so the oracle can rebuild the identical input
+    "q_pii_redact" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 10."),
+        pmod(col("doc_id"), lit(200)).cast("string"),
+        lit(".0.1 call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      TextOps.piiRedact(docs(s, dir).select(col("doc_id"), synth.as("text")))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
+    }),
+    // URL filter battery over urls synthesized from doc_id (every 11th doc
+    // on a blocked domain's subdomain, every 13th carrying a blocked
+    // keyword); the oracle states the expected verdicts directly
+    "q_url_filter" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("ads.badsite.com"))
+          .otherwise(concat(lit("example"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".com"))),
+        lit("/page/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit("?ref=casino"))
+          .otherwise(lit("")))
+      TextOps.urlFilter(docs(s, dir).select(col("doc_id"), url.as("url")),
+          "url", Seq("badsite.com"), Seq("casino", "poker"))
+        .select("doc_id", "host", "domain_blocked", "kw_hits", "pass")
+    }),
+    // content-stable deterministic train/val/test split (md5-prefix rule)
+    "q_split_assign" -> ((s, dir) => TextOps.splitAssign(
+      docs(s, dir).select("doc_id"), "doc_id", valFrac = 0.05, testFrac = 0.05)),
     // dataset mixing: deterministic per-language sampling rates
     "q_mix_sample" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir), "lang",
       Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), defaultRate = 0.1)),
@@ -437,6 +470,37 @@ object SparkEntry {
     "q_url_canon" ->
       ("SELECT doc_id, 'https://example' || (doc_id % 7) || '.com/Path/' || doc_id " +
         "|| '?id=' || doc_id AS canon_url FROM documents"),
+    // q_pii_redact: DuckDB rebuilds the identical synthetic input, then
+    // applies the same RE2/Java-portable patterns in the same order
+    "q_pii_redact" ->
+      (raw"WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        raw"'@mail.example.com or 10.' || (doc_id % 200) || '.0.1 call 555-' || " +
+        raw"lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        raw"lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), " +
+        raw"s1 AS (SELECT doc_id, t, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM p), " +
+        raw"s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM s1) " +
+        raw"SELECT doc_id, " +
+        raw"CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        raw"CAST(len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips, " +
+        raw"CAST(len(regexp_extract_all(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones, " +
+        raw"regexp_replace(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS text_redacted FROM s2"),
+    // q_url_filter: independent expected-output oracle (the url shape is a
+    // pure function of doc_id, so the verdicts are stated directly)
+    "q_url_filter" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 11 = 0 THEN 'ads.badsite.com' " +
+        "ELSE 'example' || (doc_id % 7) || '.com' END AS host, " +
+        "CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS domain_blocked, " +
+        "CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS kw_hits, " +
+        "CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 0 ELSE 1 END AS pass " +
+        "FROM documents"),
+    // q_split_assign: md5-hex-prefix split — thresholds are
+    // round(0.05*65536)=0x0ccd and round(0.10*65536)=0x199a
+    "q_split_assign" ->
+      ("SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket_hex, " +
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' THEN 'val' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'test' " +
+        "ELSE 'train' END AS split FROM documents"),
     "q_decontam" ->
       (raw"WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
         raw"ELSE string_split_regex(trim(text), '\s+') END AS words FROM documents), " +

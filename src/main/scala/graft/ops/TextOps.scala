@@ -135,6 +135,142 @@ object TextOps {
         when(col("bucket") < col("thr"), lit(1)).otherwise(lit(0)).as("keep"))
   }
 
+  /** PII patterns for `piiRedact` — the standard web-pipeline regexes
+    * (emails, IPv4 addresses, US-style phone numbers; the same three
+    * classes Dolma/BigScience-ROOTS redact). Engine-portable by
+    * construction: every construct (char classes, bounded repetition,
+    * non-capturing groups, \b) means the same thing to Java regex and RE2,
+    * so an independent SQL engine reproduces the redaction exactly.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PiiPhone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII redaction (emails → `<EMAIL>`, IPv4 → `<IP>`, phones → `<PHONE>`)
+    * plus per-class match counts. Pure codegen regexp chain — zero shuffle,
+    * scales with scan parallelism. Replacement order is email → ip → phone
+    * and counts are taken at the same point in that chain the replacement
+    * runs, so counts always equal replacements even if a later pattern
+    * could overlap an earlier one's match. Idempotent: the placeholder
+    * tokens contain no pattern characters.
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    val t1 = regexp_replace(t0, PiiEmail, "<EMAIL>")
+    val t2 = regexp_replace(t1, PiiIpv4, "<IP>")
+    val t3 = regexp_replace(t2, PiiPhone, "<PHONE>")
+    df.withColumn("n_emails", regexp_count(t0, lit(PiiEmail)).cast("long"))
+      .withColumn("n_ips", regexp_count(t1, lit(PiiIpv4)).cast("long"))
+      .withColumn("n_phones", regexp_count(t2, lit(PiiPhone)).cast("long"))
+      .withColumn("text_redacted", t3)
+  }
+
+  /** RefinedWeb-style URL filter: host extraction + blocklist-domain
+    * verdict + soft keyword score, as one codegen column battery.
+    *
+    *  - `host`: lowercased authority without port or userinfo;
+    *  - `domain_blocked`: host equals a blocked domain or is a subdomain
+    *    of one (suffix match on ".domain" — the registered-domain rule);
+    *  - `kw_hits`: how many blocked keywords occur in the lowercased URL
+    *    (RefinedWeb scores softly rather than hard-matching);
+    *  - `pass`: not blocked and zero keyword hits.
+    *
+    * The Seq-based form compiles the blocklist into the plan (right for
+    * curated lists up to ~10^4 entries); `urlFilterTable` joins a
+    * DataFrame blocklist for the millions-of-domains case.
+    */
+  def urlFilter(df: DataFrame, urlCol: String, blockedDomains: Seq[String],
+      blockedKeywords: Seq[String]): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val blocked = blockedDomains.map(_.toLowerCase)
+      .foldLeft(lit(false)) { (acc, d) =>
+        acc || host === d || host.endsWith("." + d)
+      }
+    val kwHits =
+      if (blockedKeywords.isEmpty) lit(0L)
+      else size(filter(
+        lit(blockedKeywords.map(_.toLowerCase).toArray),
+        k => contains(lower(col(urlCol)), k))).cast("long")
+    df.withColumn("host", host)
+      .withColumn("domain_blocked", when(blocked, lit(1)).otherwise(lit(0)))
+      .withColumn("kw_hits", kwHits)
+      .withColumn("pass",
+        when(!blocked && kwHits === 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Millions-of-domains variant: the blocklist is a table with a `domain`
+    * column; the verdict joins on the EXACT host plus every parent domain
+    * (a host `a.b.example.com` probes `a.b.example.com`, `b.example.com`,
+    * `example.com` — bounded by the host's label count), so the semantics
+    * match `urlFilter`'s suffix rule. The probe side explodes to a few
+    * rows per doc and the blocklist side stays as-is: Catalyst broadcasts
+    * it while it fits and falls back to a shuffle join beyond that — no
+    * driver-side list ever materializes.
+    */
+  def urlFilterTable(df: DataFrame, urlCol: String, blocklist: DataFrame,
+      blockedKeywords: Seq[String]): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withHost = df.withColumn("host", host)
+    // parent-domain candidates: host + each suffix after a dot
+    val suffixes = withHost.select(col("host"))
+      .where(col("host") =!= "").distinct()
+      .as[String]
+      .flatMap { h =>
+        val parts = h.split('.')
+        (0 until math.max(1, parts.length - 1)).map(i => (h, parts.drop(i).mkString(".")))
+      }
+      .toDF("host", "candidate")
+    val blockedHosts = suffixes
+      .join(blocklist.select(lower(col("domain")).as("candidate")), "candidate")
+      .select(col("host")).distinct()
+      .withColumn("domain_blocked", lit(1))
+    val kwHits =
+      if (blockedKeywords.isEmpty) lit(0L)
+      else size(filter(
+        lit(blockedKeywords.map(_.toLowerCase).toArray),
+        k => contains(lower(col(urlCol)), k))).cast("long")
+    withHost.join(blockedHosts, Seq("host"), "left")
+      .withColumn("domain_blocked", coalesce(col("domain_blocked"), lit(0)))
+      .withColumn("kw_hits", kwHits)
+      .withColumn("pass",
+        when(col("domain_blocked") === 0 && kwHits === 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Lowercased host of a URL: authority up to the first `/`, `?` or `#`,
+    * minus userinfo and port. Scheme-relative and bare URLs work too. */
+  private def hostOf(url: Column): Column = {
+    val rest = regexp_replace(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", "")
+  }
+
+  /** Deterministic train/val/test split assignment, content-stable: the
+    * bucket is the first 4 hex chars of md5(key) COMPARED AS STRINGS
+    * against hex thresholds — lowercase hex sorts lexicographically like
+    * the number it encodes (fixed width, one case), so the contract is
+    * engine-exact in any SQL dialect with md5: split is a pure function of
+    * the key, independent of partitioning, row order, engine, or corpus
+    * growth (a doc keeps its split forever as the corpus evolves — the
+    * property row_number()-based splits lack). 4 hex chars = 65,536
+    * buckets → rates land within 1/65536 of the request.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      valFrac: Double = 0.01, testFrac: Double = 0.01): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0,
+      s"fractions must be non-negative and sum <= 1, got $valFrac/$testFrac")
+    def thr(f: Double): String = f"${math.round(f * 65536).toInt}%04x"
+    val valThr = thr(valFrac)
+    val valTestThr = thr(valFrac + testFrac)
+    val bucket = substring(md5(col(keyCol).cast("string")), 1, 4)
+    df.withColumn("bucket_hex", bucket)
+      .withColumn("split",
+        when(bucket < valThr, lit("val"))
+          .when(bucket < valTestThr, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** Gopher-rule stopwords (Rae et al. 2021, Appendix A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

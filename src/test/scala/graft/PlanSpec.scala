@@ -101,6 +101,38 @@ class PlanSpec extends SparkTestBase {
       Seq("https://a.com/x0?q=2", "https://a.com/x1?q=2"))
   }
 
+  test("pii redaction and split assignment are pure codegen — no UDF, no shuffle") {
+    val base = spark.range(3)
+      .select(col("id").as("doc_id"),
+        concat(lit("mail a@b.com ip 1.2.3.4 x"), col("id").cast("string")).as("text"))
+    val pii = graft.ops.TextOps.piiRedact(base)
+    val piiPlan = pii.queryExecution.executedPlan.toString
+    assert(piiPlan.contains("*(1) Project"), s"no codegen span:\n$piiPlan")
+    assert(!piiPlan.toLowerCase.contains("scalaudf"), s"UDF in pii redact:\n$piiPlan")
+    assert(!piiPlan.contains("Exchange"), s"shuffle in pii redact:\n$piiPlan")
+    val split = graft.ops.TextOps.splitAssign(base, "doc_id")
+    val splitPlan = split.queryExecution.executedPlan.toString
+    assert(splitPlan.contains("*(1) Project"), s"no codegen span:\n$splitPlan")
+    assert(!splitPlan.toLowerCase.contains("scalaudf") && !splitPlan.contains("Exchange"),
+      s"split assignment must be a pure expression:\n$splitPlan")
+  }
+
+  test("url filter (literal blocklist) is a pure expression; table variant broadcasts") {
+    val urls = spark.range(4)
+      .select(col("id").as("doc_id"),
+        concat(lit("https://h"), col("id").cast("string"), lit(".example.com/p")).as("url"))
+    val lit0 = graft.ops.TextOps.urlFilter(urls, "url", Seq("bad.com"), Seq("casino"))
+    val litPlan = lit0.queryExecution.executedPlan.toString
+    assert(!litPlan.toLowerCase.contains("scalaudf") && !litPlan.contains("Exchange"),
+      s"literal url filter must not shuffle:\n$litPlan")
+    import spark.implicits._
+    val tbl = graft.ops.TextOps.urlFilterTable(urls, "url",
+      Seq("bad.com").toDF("domain"), Seq("casino"))
+    val tblPlan = tbl.queryExecution.executedPlan.toString
+    assert(tblPlan.contains("BroadcastHashJoin") || tblPlan.contains("BroadcastExchange"),
+      s"small blocklist should broadcast:\n$tblPlan")
+  }
+
   test("native fingerprint participates in whole-stage codegen (no regex, no UDF)") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))

@@ -590,3 +590,109 @@ class SpanDedupSpec extends SparkTestBase {
     assert(out(1L)._4 == 0 && out(2L)._4 == 0)
   }
 }
+
+class PiiRedactSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def redact(texts: String*) =
+    graft.ops.TextOps.piiRedact(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("each PII class redacts and counts; clean text untouched") {
+    val out = redact(
+      "mail me at jane.doe+x@sub.example.co.uk today",
+      "server at 192.168.0.1 and 10.0.0.255 responded",
+      "call 555-123-4567 or 555.987.6543 now",
+      "no pii here, just words and 12345 numbers")
+    assert(out(0) == (0L, 1L, 0L, 0L, "mail me at <EMAIL> today"))
+    assert(out(1) == (1L, 0L, 2L, 0L, "server at <IP> and <IP> responded"))
+    assert(out(2) == (2L, 0L, 0L, 2L, "call <PHONE> or <PHONE> now"))
+    assert(out(3) == (3L, 0L, 0L, 0L, "no pii here, just words and 12345 numbers"))
+  }
+
+  test("redaction is idempotent and digits inside words do not false-positive") {
+    val once = redact("a@b.com 1.2.3.4 555-123-4567")(0)._5
+    val twice = graft.ops.TextOps.piiRedact(Seq((0L, once)).toDF("doc_id", "text"))
+      .select("n_emails", "n_ips", "n_phones", "text_redacted")
+      .as[(Long, Long, Long, String)].collect()(0)
+    assert(twice == (0L, 0L, 0L, once))
+    // word-embedded digit runs carry no \b boundary → no phone/ip match
+    val embedded = redact("part x555-123-4567y and v1.2.3.4beta")(0)
+    assert(embedded._3 == 0L && embedded._4 == 0L)
+  }
+}
+
+class UrlFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val urls = Seq(
+    (0L, "https://ads.badsite.com/track?x=1"),
+    (1L, "https://badsite.com/page"),
+    (2L, "https://notbadsite.com/page"),        // suffix rule: NOT a subdomain
+    (3L, "https://example.com/casino/review"),  // keyword hit only
+    (4L, "http://user:pw@EXAMPLE.com:8080/ok"), // userinfo + port + case
+    (5L, "https://fine.org/article")).toDF("doc_id", "url")
+
+  test("domain blocklist is a suffix rule; keywords score softly") {
+    val out = graft.ops.TextOps.urlFilter(urls, "url",
+        Seq("badsite.com"), Seq("casino", "poker"))
+      .select("doc_id", "host", "domain_blocked", "kw_hits", "pass")
+      .as[(Long, String, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(out(0) == (0L, "ads.badsite.com", 1, 0L, 0))
+    assert(out(1) == (1L, "badsite.com", 1, 0L, 0))
+    assert(out(2) == (2L, "notbadsite.com", 0, 0L, 1))
+    assert(out(3) == (3L, "example.com", 0, 1L, 0))
+    assert(out(4) == (4L, "example.com", 0, 0L, 1))
+    assert(out(5) == (5L, "fine.org", 0, 0L, 1))
+  }
+
+  test("table-blocklist variant matches the literal variant exactly") {
+    val block = Seq("badsite.com", "Evil.ORG").toDF("domain")
+    val lit = graft.ops.TextOps.urlFilter(urls, "url",
+        Seq("badsite.com", "evil.org"), Seq("casino"))
+      .select("doc_id", "host", "domain_blocked", "kw_hits", "pass")
+      .as[(Long, String, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    val tbl = graft.ops.TextOps.urlFilterTable(urls, "url", block, Seq("casino"))
+      .select("doc_id", "host", "domain_blocked", "kw_hits", "pass")
+      .as[(Long, String, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(tbl == lit)
+  }
+}
+
+class SplitAssignSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val keys = (0L until 20000L).toDF("doc_id")
+
+  test("splits are content-stable, exhaustive, and near the requested rates") {
+    val out = graft.ops.TextOps.splitAssign(keys, "doc_id",
+        valFrac = 0.01, testFrac = 0.02)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = 20000.0
+    assert(math.abs(out.getOrElse("val", 0L) / n - 0.01) < 0.005, out.toString)
+    assert(math.abs(out.getOrElse("test", 0L) / n - 0.02) < 0.005, out.toString)
+    assert(out.values.sum == 20000L)
+  }
+
+  test("assignment is a pure function of the key — stable under corpus growth") {
+    val small = graft.ops.TextOps.splitAssign((0L until 100L).toDF("doc_id"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val grown = graft.ops.TextOps.splitAssign(keys, "doc_id")
+      .where(col("doc_id") < 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small == grown)
+  }
+
+  test("boundary exactness: bucket strictly below the threshold only") {
+    // thr(0.05)=0x0ccd: a bucket equal to the threshold goes to the NEXT tier
+    val out = graft.ops.TextOps.splitAssign(keys, "doc_id",
+        valFrac = 0.05, testFrac = 0.05)
+      .select("bucket_hex", "split").as[(String, String)].collect()
+    out.foreach { case (b, s) =>
+      val expect = if (b < "0ccd") "val" else if (b < "199a") "test" else "train"
+      assert(s == expect, s"bucket $b got $s")
+    }
+  }
+}
