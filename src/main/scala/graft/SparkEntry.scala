@@ -133,6 +133,7 @@ object SparkEntry {
       TextOps.subwordCountUdf(col("text")).as("n_subwords"))),
     "q_langid" -> ((s, dir) => TextOps.withLangId(docs(s, dir)).select("doc_id", "lang_pred")),
     "q_gopher_quality" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
+    "q_repetition" -> ((s, dir) => TextOps.repetitionSignals(docs(s, dir))),
     // canonical-URL key over urls synthesized deterministically from doc_id
     // (documents carries no url column); the oracle states the EXPECTED
     // canonical form directly — an independent derivation, not a regex mirror
@@ -470,6 +471,85 @@ object SparkEntry {
     "q_url_canon" ->
       ("SELECT doc_id, 'https://example' || (doc_id % 7) || '.com/Path/' || doc_id " +
         "|| '?id=' || doc_id AS canon_url FROM documents"),
+    // q_repetition: the full Gopher Table-A1 repetition battery, rebuilt
+    // independently (list ops + one gram unnest + window/group aggregates)
+    "q_repetition" ->
+      (raw"WITH w AS (SELECT doc_id, " +
+        raw"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END AS words, " +
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines, " +
+        raw"list_filter(list_transform(string_split_regex(text, '\n{2,}'), p -> trim(p)), p -> length(p) > 0) AS paras " +
+        "FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len, " +
+        "CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines, " +
+        "CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars, " +
+        "CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars, " +
+        "CAST(len(paras) AS BIGINT) AS n_paras, " +
+        "CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS n_dup_paras, " +
+        "CAST(coalesce(list_sum(list_transform(paras, x -> length(x))), 0) AS BIGINT) AS para_chars, " +
+        "CAST(coalesce(list_sum(list_transform(paras, x -> length(x))), 0) - coalesce(list_sum(list_transform(list_distinct(paras), x -> length(x))), 0) AS BIGINT) AS dup_para_chars " +
+        "FROM w), " +
+        "g AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(words) - n + 1), " +
+        "i -> array_to_string(list_slice(words, i, i + n - 1), ' '))) AS gram " +
+        "FROM (SELECT doc_id, words, unnest([2,3,4,5,6,7,8,9,10]) AS n FROM w) WHERE len(words) >= n), " +
+        "gc AS (SELECT doc_id, n, gram, CAST(length(gram) AS BIGINT) AS glen, count(*) AS c FROM g GROUP BY ALL), " +
+        "top AS (SELECT doc_id, n, c * glen AS topchars FROM gc " +
+        "QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, glen DESC) = 1), " +
+        "dup AS (SELECT doc_id, n, sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dupchars FROM gc GROUP BY 1, 2), " +
+        "piv AS (SELECT doc_id, " +
+        "coalesce(max(CASE WHEN n = 2 THEN topchars END), 0) AS top2chars, " +
+        "coalesce(max(CASE WHEN n = 3 THEN topchars END), 0) AS top3chars, " +
+        "coalesce(max(CASE WHEN n = 4 THEN topchars END), 0) AS top4chars FROM top GROUP BY doc_id), " +
+        "dpiv AS (SELECT doc_id, " +
+        "coalesce(max(CASE WHEN n = 5 THEN dupchars END), 0) AS dup5chars, " +
+        "coalesce(max(CASE WHEN n = 6 THEN dupchars END), 0) AS dup6chars, " +
+        "coalesce(max(CASE WHEN n = 7 THEN dupchars END), 0) AS dup7chars, " +
+        "coalesce(max(CASE WHEN n = 8 THEN dupchars END), 0) AS dup8chars, " +
+        "coalesce(max(CASE WHEN n = 9 THEN dupchars END), 0) AS dup9chars, " +
+        "coalesce(max(CASE WHEN n = 10 THEN dupchars END), 0) AS dup10chars FROM dup GROUP BY doc_id), " +
+        "j AS (SELECT base.*, " +
+        "CASE WHEN n_words > 0 THEN sum_word_len + n_words - 1 ELSE 0 END AS joined_len, " +
+        "coalesce(top2chars, 0) AS top2chars, coalesce(top3chars, 0) AS top3chars, coalesce(top4chars, 0) AS top4chars, " +
+        "coalesce(dup5chars, 0) AS dup5chars, coalesce(dup6chars, 0) AS dup6chars, coalesce(dup7chars, 0) AS dup7chars, " +
+        "coalesce(dup8chars, 0) AS dup8chars, coalesce(dup9chars, 0) AS dup9chars, coalesce(dup10chars, 0) AS dup10chars " +
+        "FROM base LEFT JOIN piv USING (doc_id) LEFT JOIN dpiv USING (doc_id)), " +
+        "r AS (SELECT doc_id, " +
+        "CASE WHEN n_lines > 0 THEN least(1000, (1000 * n_dup_lines) // n_lines) ELSE 0 END AS dup_line_frac_x1000, " +
+        "CASE WHEN n_paras > 0 THEN least(1000, (1000 * n_dup_paras) // n_paras) ELSE 0 END AS dup_para_frac_x1000, " +
+        "CASE WHEN line_chars > 0 THEN least(1000, (1000 * dup_line_chars) // line_chars) ELSE 0 END AS dup_line_char_frac_x1000, " +
+        "CASE WHEN para_chars > 0 THEN least(1000, (1000 * dup_para_chars) // para_chars) ELSE 0 END AS dup_para_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * top2chars) // joined_len) ELSE 0 END AS top_2gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * top3chars) // joined_len) ELSE 0 END AS top_3gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * top4chars) // joined_len) ELSE 0 END AS top_4gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * dup5chars) // joined_len) ELSE 0 END AS dup_5gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * dup6chars) // joined_len) ELSE 0 END AS dup_6gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * dup7chars) // joined_len) ELSE 0 END AS dup_7gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * dup8chars) // joined_len) ELSE 0 END AS dup_8gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * dup9chars) // joined_len) ELSE 0 END AS dup_9gram_char_frac_x1000, " +
+        "CASE WHEN joined_len > 0 THEN least(1000, (1000 * dup10chars) // joined_len) ELSE 0 END AS dup_10gram_char_frac_x1000 " +
+        "FROM j) " +
+        "SELECT doc_id, " +
+        "CAST(dup_line_frac_x1000 AS BIGINT) AS dup_line_frac_x1000, " +
+        "CAST(dup_para_frac_x1000 AS BIGINT) AS dup_para_frac_x1000, " +
+        "CAST(dup_line_char_frac_x1000 AS BIGINT) AS dup_line_char_frac_x1000, " +
+        "CAST(dup_para_char_frac_x1000 AS BIGINT) AS dup_para_char_frac_x1000, " +
+        "CAST(top_2gram_char_frac_x1000 AS BIGINT) AS top_2gram_char_frac_x1000, " +
+        "CAST(top_3gram_char_frac_x1000 AS BIGINT) AS top_3gram_char_frac_x1000, " +
+        "CAST(top_4gram_char_frac_x1000 AS BIGINT) AS top_4gram_char_frac_x1000, " +
+        "CAST(dup_5gram_char_frac_x1000 AS BIGINT) AS dup_5gram_char_frac_x1000, " +
+        "CAST(dup_6gram_char_frac_x1000 AS BIGINT) AS dup_6gram_char_frac_x1000, " +
+        "CAST(dup_7gram_char_frac_x1000 AS BIGINT) AS dup_7gram_char_frac_x1000, " +
+        "CAST(dup_8gram_char_frac_x1000 AS BIGINT) AS dup_8gram_char_frac_x1000, " +
+        "CAST(dup_9gram_char_frac_x1000 AS BIGINT) AS dup_9gram_char_frac_x1000, " +
+        "CAST(dup_10gram_char_frac_x1000 AS BIGINT) AS dup_10gram_char_frac_x1000, " +
+        "CASE WHEN dup_line_frac_x1000 <= 300 AND dup_para_frac_x1000 <= 300 " +
+        "AND dup_line_char_frac_x1000 <= 200 AND dup_para_char_frac_x1000 <= 200 " +
+        "AND top_2gram_char_frac_x1000 <= 200 AND top_3gram_char_frac_x1000 <= 180 " +
+        "AND top_4gram_char_frac_x1000 <= 160 AND dup_5gram_char_frac_x1000 <= 150 " +
+        "AND dup_6gram_char_frac_x1000 <= 140 AND dup_7gram_char_frac_x1000 <= 130 " +
+        "AND dup_8gram_char_frac_x1000 <= 120 AND dup_9gram_char_frac_x1000 <= 110 " +
+        "AND dup_10gram_char_frac_x1000 <= 100 THEN 1 ELSE 0 END AS pass FROM r"),
     // q_pii_redact: DuckDB rebuilds the identical synthetic input, then
     // applies the same RE2/Java-portable patterns in the same order
     "q_pii_redact" ->

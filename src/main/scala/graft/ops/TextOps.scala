@@ -354,6 +354,118 @@ object TextOps {
           col("dup_line_frac_x1000") <= 300L &&
           col("top_bigram_frac_x1000") <= 200L, lit(1)).otherwise(lit(0)).as("pass"))
   }
+
+  /** The FULL Gopher repetition-signal battery (Rae et al. 2021, Table A1
+    * — the companion to the A1.1 quality rules in `gopherQuality`): per-doc
+    * duplicate line/paragraph fractions, duplicate line/paragraph CHARACTER
+    * fractions, top-{2,3,4}-gram character fractions and duplicate-
+    * {5..10}-gram character fractions, plus the composite keep verdict at
+    * the published thresholds (0.30/0.30/0.20/0.20 · 0.20/0.18/0.16 ·
+    * 0.15/0.14/0.13/0.12/0.11/0.10).
+    *
+    * Conventions (documented because the paper leaves them open; each is a
+    * widely-used public reading and all are engine-exact):
+    *  - "duplicates" = occurrences beyond the first of an identical
+    *    line/paragraph (n − n_distinct), and their char fraction divides by
+    *    the total chars of all lines/paragraphs;
+    *  - the top n-gram is the most frequent one, ties broken toward the
+    *    LONGEST (only count x char-length feeds the metric, so equal-length
+    *    ties cannot affect the output);
+    *  - duplicate-n-gram char fractions count every occurrence of grams
+    *    appearing more than once (count x gram length — the RedPajama-v2
+    *    convention, overlaps not position-deduplicated), capped at 1.0;
+    *  - n-gram char lengths and the denominator live in the single-space-
+    *    joined word stream (sum of word lengths + n_words − 1), making the
+    *    fractions independent of raw whitespace runs.
+    * All ratios ship as floor(1000 x ratio) integers.
+    *
+    * Plan shape: one projection builds every n-gram for n=2..10 in a single
+    * pass (flatten over a nested HOF — no UDF), ONE explode ships the gram
+    * postings (≈9 rows per word, the same volume class the shingling stages
+    * move), and two scalar aggregates come back; line/paragraph metrics are
+    * pure array expressions that never leave the scan.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val words = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    def parts(sep: String) = filter(
+      transform(split(col("text"), sep), p => trim(p)), p => length(p) > 0)
+    def charSum(a: Column) = coalesce(aggregate(a, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+
+    val base = docs.select(col("doc_id"), words.as("words"),
+        parts("\n").as("lines"), parts("\n{2,}").as("paras"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("sum_word_len", charSum(col("words")))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_dup_lines",
+        (size(col("lines")) - size(array_distinct(col("lines")))).cast("long"))
+      .withColumn("line_chars", charSum(col("lines")))
+      .withColumn("dup_line_chars", charSum(col("lines")) - charSum(array_distinct(col("lines"))))
+      .withColumn("n_paras", size(col("paras")).cast("long"))
+      .withColumn("n_dup_paras",
+        (size(col("paras")) - size(array_distinct(col("paras")))).cast("long"))
+      .withColumn("para_chars", charSum(col("paras")))
+      .withColumn("dup_para_chars", charSum(col("paras")) - charSum(array_distinct(col("paras"))))
+
+    // every n-gram for n = 2..10 in ONE projection: flatten over a nested
+    // higher-order transform (outer over n, inner over window starts)
+    val allGrams = flatten(transform(sequence(lit(2), lit(10)), n =>
+      when(size(col("words")) >= n,
+        transform(sequence(lit(1), size(col("words")) - n + 1),
+          i => struct(n.as("n"), array_join(slice(col("words"), i, n), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))))
+
+    val gramCounts = base.select(col("doc_id"), explode(allGrams).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"),
+        length(col("g.gram")).cast("long").as("glen"))
+      .groupBy("doc_id", "n", "glen", "gram")
+      .agg(count(lit(1)).as("c"))
+
+    val perN = gramCounts.groupBy("doc_id", "n").agg(
+      // max by (count, gram length): only c x glen feeds the metric, so
+      // the remaining tie (same count AND length) cannot change the output
+      max(struct(col("c"), col("glen"))).as("top"),
+      sum(when(col("c") > 1, col("c") * col("glen")).otherwise(lit(0L))).as("dupchars"))
+    val pivotCols = Seq(2, 3, 4).map(n =>
+      max(when(col("n") === n, col("top.c") * col("top.glen"))).as(s"top${n}chars")) ++
+      (5 to 10).map(n =>
+        max(when(col("n") === n, col("dupchars"))).as(s"dup${n}chars"))
+    val pivoted = perN.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+
+    def frac1000(num: Column, den: Column): Column =
+      when(den > 0, least(lit(1000L), floor(lit(1000L) * num / den).cast("long"))).otherwise(lit(0L))
+
+    val joinedLen = when(col("n_words") > 0, col("sum_word_len") + col("n_words") - 1).otherwise(lit(0L))
+    val withGrams = base.select("doc_id", "n_words", "sum_word_len",
+        "n_lines", "n_dup_lines", "line_chars", "dup_line_chars",
+        "n_paras", "n_dup_paras", "para_chars", "dup_para_chars")
+      .join(pivoted, Seq("doc_id"), "left")
+
+    val metricCols = Seq(
+      frac1000(col("n_dup_lines"), col("n_lines")).as("dup_line_frac_x1000"),
+      frac1000(col("n_dup_paras"), col("n_paras")).as("dup_para_frac_x1000"),
+      frac1000(col("dup_line_chars"), col("line_chars")).as("dup_line_char_frac_x1000"),
+      frac1000(col("dup_para_chars"), col("para_chars")).as("dup_para_char_frac_x1000")) ++
+      Seq(2, 3, 4).map(n =>
+        frac1000(coalesce(col(s"top${n}chars"), lit(0L)), joinedLen).as(s"top_${n}gram_char_frac_x1000")) ++
+      (5 to 10).map(n =>
+        frac1000(coalesce(col(s"dup${n}chars"), lit(0L)), joinedLen).as(s"dup_${n}gram_char_frac_x1000"))
+
+    val thresholds = Seq(
+      "dup_line_frac_x1000" -> 300L, "dup_para_frac_x1000" -> 300L,
+      "dup_line_char_frac_x1000" -> 200L, "dup_para_char_frac_x1000" -> 200L,
+      "top_2gram_char_frac_x1000" -> 200L, "top_3gram_char_frac_x1000" -> 180L,
+      "top_4gram_char_frac_x1000" -> 160L,
+      "dup_5gram_char_frac_x1000" -> 150L, "dup_6gram_char_frac_x1000" -> 140L,
+      "dup_7gram_char_frac_x1000" -> 130L, "dup_8gram_char_frac_x1000" -> 120L,
+      "dup_9gram_char_frac_x1000" -> 110L, "dup_10gram_char_frac_x1000" -> 100L)
+
+    val projected = withGrams.select(col("doc_id") +: metricCols: _*)
+    projected.withColumn("pass",
+      when(thresholds.map { case (c, t) => col(c) <= t }.reduce(_ && _), lit(1))
+        .otherwise(lit(0)))
+  }
 }
 
 /** Tiny deterministic trigram language scorer (public standard technique). */

@@ -696,3 +696,73 @@ class SplitAssignSpec extends SparkTestBase {
     }
   }
 }
+
+class RepetitionSignalsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def signals(texts: String*): Map[Long, Map[String, Long]] = {
+    val df = graft.ops.TextOps.repetitionSignals(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+    val cols = df.columns.filter(_ != "doc_id")
+    df.collect().map { r =>
+      r.getLong(0) -> cols.map(c => c -> r.getAs[Number](c).longValue()).toMap
+    }.toMap
+  }
+
+  test("n-gram fractions are exact on a hand-checked doc") {
+    // "x y x y x y z": 7 words, joined length 13
+    //  2-grams: "x y"x3 "y x"x2 "y z"x1 -> top 3*3=9   -> floor(9000/13)=692
+    //  3-grams: "x y x"x2 "y x y"x2 "x y z"x1 -> 2*5=10 -> 769
+    //  4-grams: "x y x y"x2, two singles -> 2*7=14      -> capped 1000
+    //  5-grams: all three distinct -> dup5 = 0
+    val m = signals("x y x y x y z")(0L)
+    assert(m("top_2gram_char_frac_x1000") == 692L)
+    assert(m("top_3gram_char_frac_x1000") == 769L)
+    assert(m("top_4gram_char_frac_x1000") == 1000L)
+    assert(m("dup_5gram_char_frac_x1000") == 0L)
+    assert(m("pass") == 0L)
+  }
+
+  test("duplicate line and paragraph character fractions are exact") {
+    // lines [aa, bb, aa, cc, cc dd]: 1 of 5 duplicated -> 200;
+    // chars 13, dup chars 2 -> floor(2000/13)=153; paragraphs distinct -> 0
+    val m = signals("aa\nbb\naa\ncc\n\ncc dd")(0L)
+    assert(m("dup_line_frac_x1000") == 200L)
+    assert(m("dup_line_char_frac_x1000") == 153L)
+    assert(m("dup_para_frac_x1000") == 0L)
+    assert(m("dup_para_char_frac_x1000") == 0L)
+    // duplicated paragraphs: [p1, p2, p1] with p1 = "aa bb", p2 = "cc"
+    val p = signals("aa bb\n\ncc\n\naa bb")(0L)
+    assert(p("dup_para_frac_x1000") == 333L)
+    // para chars 12 (5+2+5), dup chars 5 -> floor(5000/12)=416
+    assert(p("dup_para_char_frac_x1000") == 416L)
+  }
+
+  test("dup n-gram fractions count every occurrence of repeated grams") {
+    // "a b c a b c a b c" (9 words, joined 17): every 5..8-gram window of a
+    // period-3 string repeats when W - n >= 3 -> for n=5: grams at 1..5,
+    // shifts 1,2,3,4,5; gram(i)=gram(i+3) -> counts: two grams x2, one x1
+    // dup5 = 4 * 9 = 36 -> min(1000, floor(36000/17)) = 1000
+    val m = signals("a b c a b c a b c")(0L)
+    assert(m("dup_5gram_char_frac_x1000") == 1000L)
+    assert(m("dup_6gram_char_frac_x1000") == 1000L)  // n=6: gram x2 at shift 1..4? -> 1,4 & 2,5? W-n+1=4 starts, period 3: s1=s4 -> one pair x2 + 2 singles -> 2*11=22 -> 1000
+    assert(m("dup_8gram_char_frac_x1000") == 0L)     // 2 starts, s1 != s2
+    assert(m("dup_10gram_char_frac_x1000") == 0L)    // no 10-gram in 9 words
+    // clean doc: all DUP signals zero (top-n-gram fractions are naturally
+    // nonzero — the most frequent gram occurs once — but under threshold
+    // for a realistically-long doc; a dozen-word doc legitimately fails
+    // the top-3/4-gram rules because one occurrence is a big fraction)
+    val words60 = (0 until 60).map(i => s"word${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val clean = signals(words60.mkString(" "))(0L)
+    assert(clean.filter(_._1.startsWith("dup_")).values.forall(_ == 0L))
+    assert(clean("pass") == 1L)
+  }
+
+  test("empty and sub-n docs yield zeros, not nulls or crashes") {
+    val m = signals("", "one", "one two")
+    assert(m(0L).filterNot(_._1 == "pass").values.forall(_ == 0L))
+    assert(m(1L).filterNot(_._1 == "pass").values.forall(_ == 0L))
+    // "one two": a single 2-gram occurring once -> top2 = 7/7 -> 1000
+    assert(m(2L)("top_2gram_char_frac_x1000") == 1000L)
+  }
+}
