@@ -330,6 +330,13 @@ object SparkEntry {
 
   private val Fp = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 
+  /** Shared word-split convention (mirrors TextOps.wsWords): \s+ split of
+    * the \s-TRIMMED text — plain trim() strips only spaces, and a trailing
+    * newline would add phantom empty tokens to every word metric. */
+  private val WsTrim = raw"regexp_replace(text, '^\s+|\s+$$', '', 'g')"
+  private val WsWords =
+    raw"CASE WHEN length($WsTrim) = 0 THEN []::VARCHAR[] ELSE string_split_regex($WsTrim, '\s+') END"
+
   /** Shared CTE: per-doc distinct sorted k-gram (k=3) shingle strings —
     * byte-equivalent to KGramShingler.generateSequences on this corpus (the
     * synthetic text is single-paragraph, lowercase, single-spaced, digitless,
@@ -419,11 +426,11 @@ object SparkEntry {
         "SELECT f.doc_id, CASE WHEN f.doc_id = r.keep_id THEN 0 ELSE 1 END AS is_dup " +
         "FROM f JOIN r ON f.h = r.h"),
     "q_token_count" ->
-      raw"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens FROM documents",
+      s"SELECT doc_id, CAST(len($WsWords) AS BIGINT) AS n_tokens FROM documents",
     "q_doc_quality" ->
-      (raw"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, " +
-        raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens, " +
-        raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(floor(1000 * (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(string_split_regex(trim(text), '\s+')))) AS BIGINT) END AS avg_token_len_x1000, " +
+      (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, " +
+        s"CAST(len($WsWords) AS BIGINT) AS n_tokens, " +
+        raw"CASE WHEN len($WsWords) = 0 THEN 0 ELSE CAST(floor(1000 * (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len($WsWords))) AS BIGINT) END AS avg_token_len_x1000, " +
         raw"CAST(floor(1000 * (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))) AS BIGINT) AS punct_ratio_x1000 " +
         "FROM documents"),
     "q_fingerprint" -> s"SELECT doc_id, $Fp AS fp FROM documents",
@@ -436,8 +443,7 @@ object SparkEntry {
         raw"generate_subscripts(string_split_regex(text, '\n{2,}'), 1) AS i " +
         "FROM documents) WHERE length(trim(p)) > 0"),
     "q_gopher_quality" ->
-      (raw"WITH b AS (SELECT doc_id, " +
-        raw"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END AS words, " +
+      (s"WITH b AS (SELECT doc_id, $WsWords AS words, " +
         "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines " +
         "FROM documents), " +
         "m AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words, " +
@@ -474,8 +480,7 @@ object SparkEntry {
     // q_repetition: the full Gopher Table-A1 repetition battery, rebuilt
     // independently (list ops + one gram unnest + window/group aggregates)
     "q_repetition" ->
-      (raw"WITH w AS (SELECT doc_id, " +
-        raw"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END AS words, " +
+      (s"WITH w AS (SELECT doc_id, $WsWords AS words, " +
         "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines, " +
         raw"list_filter(list_transform(string_split_regex(text, '\n{2,}'), p -> trim(p)), p -> length(p) > 0) AS paras " +
         "FROM documents), " +

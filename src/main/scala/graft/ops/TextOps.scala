@@ -11,10 +11,27 @@ import graft.kernel.TextNorm
   */
 object TextOps {
 
+  /** Text with ALL whitespace stripped at both edges. Spark's trim()
+    * strips only ' ': a trailing newline/tab would survive it and the
+    * \s+ split keeps trailing empty strings (limit -1), so every
+    * word-based metric would count phantom empty tokens on real web text
+    * (trailing newlines are ubiquitous). regexp form is engine-portable.
+    */
+  private def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
+  /** Whitespace word array of a doc — THE word-split convention for every
+    * column-level text metric (tokenCount, gopherQuality,
+    * repetitionSignals): \s+ split of the \s-trimmed text; blank → empty.
+    */
+  private[ops] def wsWords(text: Column): Column = {
+    val t = wsTrim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
   /** Token count via whitespace split; empty/blank text counts 0. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = size(wsWords(text))
 
   /** Deterministic document fingerprint: md5 of the whitespace-normalized
     * lowercase text (the whole-doc exact-hash analog of pichash, P3).
@@ -213,13 +230,18 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val withHost = df.withColumn("host", host)
-    // parent-domain candidates: host + each suffix after a dot
+    // parent-domain candidates: the host itself plus EVERY dot-suffix,
+    // including the last label (a single-label blocklist domain must catch
+    // its subdomains exactly like urlFilter's endsWith rule). split keeps
+    // trailing empties (-1) so a trailing-dot FQDN "a.b.com." yields
+    // candidates "a.b.com."/"b.com."/"com."/"" — never the undotted
+    // "b.com", matching the literal variant, which does not block it.
     val suffixes = withHost.select(col("host"))
       .where(col("host") =!= "").distinct()
       .as[String]
       .flatMap { h =>
-        val parts = h.split('.')
-        (0 until math.max(1, parts.length - 1)).map(i => (h, parts.drop(i).mkString(".")))
+        val parts = h.split("\\.", -1)
+        parts.indices.map(i => (h, parts.drop(i).mkString(".")))
       }
       .toDF("host", "candidate")
     val blockedHosts = suffixes
@@ -239,9 +261,13 @@ object TextOps {
   }
 
   /** Lowercased host of a URL: authority up to the first `/`, `?` or `#`,
-    * minus userinfo and port. Scheme-relative and bare URLs work too. */
+    * minus userinfo and port. Scheme-relative (`//host/...` — common in
+    * crawled markup) and bare URLs work too. */
   private def hostOf(url: Column): Column = {
-    val rest = regexp_replace(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noScheme = regexp_replace(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // scheme-relative: a leading "//" would otherwise make the authority
+    // extract match zero chars and return "" — a blocklist bypass
+    val rest = regexp_replace(noScheme, "^//", "")
     val auth = lower(regexp_extract(rest, "^([^/?#]*)", 1))
     regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", "")
   }
@@ -260,7 +286,14 @@ object TextOps {
       valFrac: Double = 0.01, testFrac: Double = 0.01): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0,
       s"fractions must be non-negative and sum <= 1, got $valFrac/$testFrac")
-    def thr(f: Double): String = f"${math.round(f * 65536).toInt}%04x"
+    // a fraction that rounds to 65536 would encode as the 5-char "10000",
+    // breaking the fixed-width comparison ("8000" < "10000" is FALSE
+    // lexicographically); "g" sorts above every hex char, so it is the
+    // exact all-buckets-below sentinel
+    def thr(f: Double): String = {
+      val t = math.round(f * 65536).toInt
+      if (t >= 65536) "g" else f"$t%04x"
+    }
     val valThr = thr(valFrac)
     val valTestThr = thr(valFrac + testFrac)
     val bucket = substring(md5(col(keyCol).cast("string")), 1, 4)
@@ -294,9 +327,7 @@ object TextOps {
     * (2·count/n_words upper bound) ≤ 20%.
     */
   def gopherQuality(docs: DataFrame): DataFrame = {
-    val words = when(length(trim(col("text"))) === 0,
-        array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
+    val words = wsWords(col("text"))
     val lines = filter(
       transform(split(col("text"), "\n"), l => trim(l)),
       l => length(l) > 0)
@@ -386,9 +417,7 @@ object TextOps {
     * pure array expressions that never leave the scan.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val words = when(length(trim(col("text"))) === 0,
-        array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
+    val words = wsWords(col("text"))
     def parts(sep: String) = filter(
       transform(split(col("text"), sep), p => trim(p)), p => length(p) > 0)
     def charSum(a: Column) = coalesce(aggregate(a, lit(0L), (acc, x) => acc + length(x)), lit(0L))

@@ -648,6 +648,31 @@ class UrlFilterSpec extends SparkTestBase {
     assert(out(5) == (5L, "fine.org", 0, 0L, 1))
   }
 
+  test("scheme-relative urls resolve their host (no blocklist bypass)") {
+    val rel = Seq((0L, "//ads.badsite.com/track?x=1"), (1L, "//fine.org/a"))
+      .toDF("doc_id", "url")
+    val out = graft.ops.TextOps.urlFilter(rel, "url", Seq("badsite.com"), Nil)
+      .select("doc_id", "host", "domain_blocked")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, "ads.badsite.com", 1), (1L, "fine.org", 0)))
+  }
+
+  test("single-label and trailing-dot domains: table variant ≡ literal variant") {
+    val tricky = Seq(
+      (0L, "https://wiki.internal/page"),      // single-label blocked domain
+      (1L, "https://internal/page"),           // exact single-label host
+      (2L, "https://ads.badsite.com./x"),      // trailing-dot FQDN: NOT blocked by either
+      (3L, "https://sub.wiki.internal/x")).toDF("doc_id", "url")
+    val block = Seq("internal", "badsite.com").toDF("domain")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "domain_blocked").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val lit0 = verdicts(graft.ops.TextOps.urlFilter(tricky, "url",
+      Seq("internal", "badsite.com"), Nil))
+    val tbl = verdicts(graft.ops.TextOps.urlFilterTable(tricky, "url", block, Nil))
+    assert(lit0 == Seq((0L, 1), (1L, 1), (2L, 0), (3L, 1)))
+    assert(tbl == lit0)
+  }
+
   test("table-blocklist variant matches the literal variant exactly") {
     val block = Seq("badsite.com", "Evil.ORG").toDF("domain")
     val lit = graft.ops.TextOps.urlFilter(urls, "url",
@@ -683,6 +708,17 @@ class SplitAssignSpec extends SparkTestBase {
       .where(col("doc_id") < 100)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(small == grown)
+  }
+
+  test("whole-range fractions keep the fixed-width comparison honest") {
+    // valFrac = 1.0 encodes a threshold ABOVE every 4-hex bucket ("10000"
+    // would compare lexicographically below "8000" — the sentinel fix)
+    val allVal = graft.ops.TextOps.splitAssign(keys, "doc_id", valFrac = 1.0, testFrac = 0.0)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(allVal == Map("val" -> 20000L))
+    val noTrain = graft.ops.TextOps.splitAssign(keys, "doc_id", valFrac = 0.5, testFrac = 0.5)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(!noTrain.contains("train"), noTrain.toString)
   }
 
   test("boundary exactness: bucket strictly below the threshold only") {
@@ -764,5 +800,19 @@ class RepetitionSignalsSpec extends SparkTestBase {
     assert(m(1L).filterNot(_._1 == "pass").values.forall(_ == 0L))
     // "one two": a single 2-gram occurring once -> top2 = 7/7 -> 1000
     assert(m(2L)("top_2gram_char_frac_x1000") == 1000L)
+  }
+
+  test("edge whitespace adds no phantom tokens (trailing newline, ws-only doc)") {
+    // "\n\n" is NOT two empty words; "a b\n" is two words, not three
+    val m = signals("\n\n", "a b\n", "\tx y x y x y z \n")
+    assert(m(0L).filterNot(_._1 == "pass").values.forall(_ == 0L))
+    assert(m(1L)("top_2gram_char_frac_x1000") == 1000L) // "a b" = 3/3
+    assert(m(2L)("top_2gram_char_frac_x1000") == 692L)  // ≡ untrimmed hand-check above
+    import org.apache.spark.sql.functions.col
+    val toks = Seq((0L, "a b\n"), (1L, " \n "), (2L, "\tx\ty\n"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.TextOps.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(toks == Map(0L -> 2, 1L -> 0, 2L -> 2))
   }
 }
