@@ -332,7 +332,8 @@ object Bench {
       // set (each < ~3 s warm at sf0.1) so every pipeline op has a
       // per-round timing history, not just a one-off QueryTime table
       "q_dedup_spans", "q_decontam", "q_subword", "q_url_canon",
-      "q_pii_redact", "q_url_filter", "q_split_assign", "q_repetition")
+      "q_pii_redact", "q_url_filter", "q_split_assign", "q_repetition",
+      "q_c4_rules")
     def timeAll(spark0: SparkSession): Seq[(String, Double)] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>

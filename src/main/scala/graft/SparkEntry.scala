@@ -134,6 +134,25 @@ object SparkEntry {
     "q_langid" -> ((s, dir) => TextOps.withLangId(docs(s, dir)).select("doc_id", "lang_pred")),
     "q_gopher_quality" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextOps.repetitionSignals(docs(s, dir))),
+    // C4 cleaning battery over text with deterministic synthetic lines
+    // appended (one keepable sentence, one short line, one javascript
+    // line; every 17th doc a curly brace, 19th lorem ipsum, 23rd a
+    // blocklisted token) so every rule actually fires on the gate data
+    "q_c4_rules" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        lit("\nThis is generated sentence number "),
+        col("doc_id").cast("string"), lit(" with enough words."),
+        lit("\ntoo short line"),
+        lit("\nPlease enable javascript to view this content properly."),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("\nA code block { begins right here now.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          lit("\nLorem Ipsum dolor sit amet consectetur elit.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          lit("\nthis line contains badword among others.")).otherwise(lit("")))
+      TextOps.c4Rules(docs(s, dir).select(col("doc_id"), synth.as("text")),
+        Seq("badword"))
+    }),
     // canonical-URL key over urls synthesized deterministically from doc_id
     // (documents carries no url column); the oracle states the EXPECTED
     // canonical form directly — an independent derivation, not a regex mirror
@@ -333,9 +352,10 @@ object SparkEntry {
   /** Shared word-split convention (mirrors TextOps.wsWords): \s+ split of
     * the \s-TRIMMED text — plain trim() strips only spaces, and a trailing
     * newline would add phantom empty tokens to every word metric. */
-  private val WsTrim = raw"regexp_replace(text, '^\s+|\s+$$', '', 'g')"
-  private val WsWords =
-    raw"CASE WHEN length($WsTrim) = 0 THEN []::VARCHAR[] ELSE string_split_regex($WsTrim, '\s+') END"
+  private def wsTrimSql(e: String) = raw"regexp_replace($e, '^\s+|\s+$$', '', 'g')"
+  private def wsWordsSql(e: String) =
+    raw"CASE WHEN length(${wsTrimSql(e)}) = 0 THEN []::VARCHAR[] ELSE string_split_regex(${wsTrimSql(e)}, '\s+') END"
+  private val WsWords = wsWordsSql("text")
 
   /** Shared CTE: per-doc distinct sorted k-gram (k=3) shingle strings —
     * byte-equivalent to KGramShingler.generateSequences on this corpus (the
@@ -477,6 +497,31 @@ object SparkEntry {
     "q_url_canon" ->
       ("SELECT doc_id, 'https://example' || (doc_id % 7) || '.com/Path/' || doc_id " +
         "|| '?id=' || doc_id AS canon_url FROM documents"),
+    // q_c4_rules: DuckDB rebuilds the synthetic input (chr(10) = the
+    // Spark-side "\n") and the full line/page battery independently
+    "q_c4_rules" ->
+      ("WITH p AS (SELECT doc_id, text || chr(10) || " +
+        "'This is generated sentence number ' || doc_id || ' with enough words.' || chr(10) || " +
+        "'too short line' || chr(10) || " +
+        "'Please enable javascript to view this content properly.' || " +
+        "CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'A code block { begins right here now.' ELSE '' END || " +
+        "CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur elit.' ELSE '' END || " +
+        "CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'this line contains badword among others.' ELSE '' END AS t " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, t, list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines FROM p), " +
+        raw"k AS (SELECT doc_id, t, lines, list_filter(lines, l -> regexp_matches(l, '[.!?\x22]$$') " +
+        raw"AND len(string_split_regex(l, '\s+')) >= 5 AND NOT contains(lower(l), 'javascript')) AS kept FROM w), " +
+        "r AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean, " +
+        "CAST(len(lines) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines, " +
+        "CAST(coalesce(list_sum(list_transform(kept, l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))), 0) AS BIGINT) AS n_sentences, " +
+        "CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem_ipsum, " +
+        "CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_curly_brace, " +
+        s"CASE WHEN len(list_intersect(list_transform(${wsWordsSql("t")}, x -> lower(x)), ['badword'])) > 0 THEN 1 ELSE 0 END AS has_bad_word " +
+        "FROM k) " +
+        "SELECT doc_id, text_clean, n_lines, n_kept_lines, n_sentences, " +
+        "has_lorem_ipsum, has_curly_brace, has_bad_word, " +
+        "CASE WHEN n_sentences >= 3 AND has_lorem_ipsum = 0 AND has_curly_brace = 0 " +
+        "AND has_bad_word = 0 THEN 1 ELSE 0 END AS pass FROM r"),
     // q_repetition: the full Gopher Table-A1 repetition battery, rebuilt
     // independently (list ops + one gram unnest + window/group aggregates)
     "q_repetition" ->

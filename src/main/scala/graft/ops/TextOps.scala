@@ -386,6 +386,57 @@ object TextOps {
           col("top_bigram_frac_x1000") <= 200L, lit(1)).otherwise(lit(0)).as("pass"))
   }
 
+  /** C4 cleaning battery (Raffel et al. 2020 §2.2 — the public C4 rules),
+    * as line-level filtering plus page-level verdicts in one codegen
+    * column battery (array HOFs, no UDF, no shuffle):
+    *
+    *  - a LINE is kept iff it ends in terminal punctuation (`.!?"`), has
+    *    ≥ 5 words, and does not contain "javascript" (case-insensitive);
+    *  - `text_clean` re-joins kept lines with single newlines;
+    *  - page verdicts: `n_sentences` (terminal punctuation marks in kept
+    *    lines — the standard cheap sentence proxy, documented), `has_
+    *    lorem_ipsum`, `has_curly_brace` (code marker), `has_bad_word`
+    *    (TOKEN match of the lowercased word stream against the list — C4
+    *    matches its public blocklist at word level);
+    *  - `pass` = ≥ 3 sentences, no lorem ipsum, no `{`, no bad word.
+    *
+    * C4's three-sentence-span dedup is deliberately NOT here — it is a
+    * corpus-level operator this engine already provides better via
+    * `SpanDedup.removeDuplicateSpans` / `DedupOps.paragraphDedup`.
+    */
+  def c4Rules(docs: DataFrame, badWords: Seq[String] = Nil): DataFrame = {
+    val lines = filter(
+      transform(split(col("text"), "\n"), l => trim(l)), l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= 5 &&
+        !contains(lower(l), lit("javascript")))
+    val nSentences = coalesce(
+      aggregate(kept, lit(0L),
+        (acc, l) => acc + (length(l) - length(regexp_replace(l, "[.!?]", "")))),
+      lit(0L))
+    val hasBad =
+      if (badWords.isEmpty) lit(0)
+      else when(arrays_overlap(
+        transform(wsWords(col("text")), w => lower(w)),
+        lit(badWords.map(_.toLowerCase).toArray)), lit(1)).otherwise(lit(0))
+    docs.select(col("doc_id"), lines.as("lines"), kept.as("kept"),
+        nSentences.as("n_sentences"), hasBad.as("has_bad_word"),
+        when(contains(lower(col("text")), lit("lorem ipsum")), lit(1)).otherwise(lit(0))
+          .as("has_lorem_ipsum"),
+        when(contains(col("text"), lit("{")), lit(1)).otherwise(lit(0))
+          .as("has_curly_brace"))
+      .select(col("doc_id"),
+        array_join(col("kept"), "\n").as("text_clean"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        col("n_sentences"), col("has_lorem_ipsum"), col("has_curly_brace"),
+        col("has_bad_word"),
+        when(col("n_sentences") >= 3 && col("has_lorem_ipsum") === 0 &&
+          col("has_curly_brace") === 0 && col("has_bad_word") === 0, lit(1))
+          .otherwise(lit(0)).as("pass"))
+  }
+
   /** The FULL Gopher repetition-signal battery (Rae et al. 2021, Table A1
     * — the companion to the A1.1 quality rules in `gopherQuality`): per-doc
     * duplicate line/paragraph fractions, duplicate line/paragraph CHARACTER

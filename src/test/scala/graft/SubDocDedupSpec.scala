@@ -816,3 +816,51 @@ class RepetitionSignalsSpec extends SparkTestBase {
     assert(toks == Map(0L -> 2, 1L -> 0, 2L -> 2))
   }
 }
+
+class C4RulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(texts: String*) =
+    graft.ops.TextOps.c4Rules(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      Seq("badword"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("line rules: terminal punctuation, five words, javascript") {
+    val m = run(
+      "Good first sentence with five words.\nshort one\nNo final punctuation here at all\n" +
+        "Please enable javascript to continue reading now.\nAnother good line is here today!")
+    val r = m(0L)
+    assert(r.getAs[Long]("n_lines") == 5)
+    assert(r.getAs[Long]("n_kept_lines") == 2)
+    assert(r.getAs[String]("text_clean") ==
+      "Good first sentence with five words.\nAnother good line is here today!")
+    assert(r.getAs[Long]("n_sentences") == 2)
+    assert(r.getAs[Int]("pass") == 0) // only 2 sentences
+  }
+
+  test("page rules: lorem ipsum, curly brace, bad word token, sentence floor") {
+    val base = "One full sentence sits right here.\nA second sentence follows it closely.\nAnd a third one completes the page."
+    val m = run(
+      base,
+      base + "\nSome Lorem IPSUM filler appears here today.",
+      base + "\nA brace { lives in this line.",
+      base + "\nthis page mentions badword once only.",
+      base + "\nbadwording is not the bad word itself.")
+    assert(m(0L).getAs[Int]("pass") == 1)
+    assert(m(1L).getAs[Int]("has_lorem_ipsum") == 1 && m(1L).getAs[Int]("pass") == 0)
+    assert(m(2L).getAs[Int]("has_curly_brace") == 1 && m(2L).getAs[Int]("pass") == 0)
+    assert(m(3L).getAs[Int]("has_bad_word") == 1 && m(3L).getAs[Int]("pass") == 0)
+    // token match, not substring: "badwording" must NOT trip the blocklist
+    assert(m(4L).getAs[Int]("has_bad_word") == 0 && m(4L).getAs[Int]("pass") == 1)
+  }
+
+  test("empty and punctuation-free docs clean to empty and fail the floor") {
+    val m = run("", "no punctuation anywhere on this page at all")
+    Seq(0L, 1L).foreach { id =>
+      assert(m(id).getAs[String]("text_clean") == "")
+      assert(m(id).getAs[Long]("n_sentences") == 0)
+      assert(m(id).getAs[Int]("pass") == 0)
+    }
+  }
+}
