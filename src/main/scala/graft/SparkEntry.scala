@@ -143,6 +143,7 @@ object SparkEntry {
         lit("\nThis is generated sentence number "),
         col("doc_id").cast("string"), lit(" with enough words."),
         lit("\ntoo short line"),
+        lit("\nToo short."), // punctuated but < 5 words: the word rule ALONE drops it
         lit("\nPlease enable javascript to view this content properly."),
         when(pmod(col("doc_id"), lit(17)) === 0,
           lit("\nA code block { begins right here now.")).otherwise(lit("")),
@@ -357,6 +358,12 @@ object SparkEntry {
     raw"CASE WHEN length(${wsTrimSql(e)}) = 0 THEN []::VARCHAR[] ELSE string_split_regex(${wsTrimSql(e)}, '\s+') END"
   private val WsWords = wsWordsSql("text")
 
+  /** Mirrors TextOps.wsParts: non-blank \s-trimmed parts of a regex split
+    * (per-part REGEXP trim — a CRLF line keeps its \r through a plain
+    * trim, where Java's and RE2's `$` anchors then disagree). */
+  private def wsPartsSql(e: String, sepRe: String) =
+    raw"list_filter(list_transform(string_split_regex($e, '$sepRe'), p -> ${wsTrimSql("p")}), p -> length(p) > 0)"
+
   /** Shared CTE: per-doc distinct sorted k-gram (k=3) shingle strings —
     * byte-equivalent to KGramShingler.generateSequences on this corpus (the
     * synthetic text is single-paragraph, lowercase, single-spaced, digitless,
@@ -464,7 +471,7 @@ object SparkEntry {
         "FROM documents) WHERE length(trim(p)) > 0"),
     "q_gopher_quality" ->
       (s"WITH b AS (SELECT doc_id, $WsWords AS words, " +
-        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines " +
+        raw"${wsPartsSql("text", raw"\n")} AS lines " +
         "FROM documents), " +
         "m AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words, " +
         "CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_word_len, " +
@@ -503,12 +510,13 @@ object SparkEntry {
       ("WITH p AS (SELECT doc_id, text || chr(10) || " +
         "'This is generated sentence number ' || doc_id || ' with enough words.' || chr(10) || " +
         "'too short line' || chr(10) || " +
+        "'Too short.' || chr(10) || " +
         "'Please enable javascript to view this content properly.' || " +
         "CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'A code block { begins right here now.' ELSE '' END || " +
         "CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur elit.' ELSE '' END || " +
         "CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'this line contains badword among others.' ELSE '' END AS t " +
         "FROM documents), " +
-        "w AS (SELECT doc_id, t, list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines FROM p), " +
+        raw"w AS (SELECT doc_id, t, ${wsPartsSql("t", raw"\n")} AS lines FROM p), " +
         raw"k AS (SELECT doc_id, t, lines, list_filter(lines, l -> regexp_matches(l, '[.!?\x22]$$') " +
         raw"AND len(string_split_regex(l, '\s+')) >= 5 AND NOT contains(lower(l), 'javascript')) AS kept FROM w), " +
         "r AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean, " +
@@ -516,7 +524,7 @@ object SparkEntry {
         "CAST(coalesce(list_sum(list_transform(kept, l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))), 0) AS BIGINT) AS n_sentences, " +
         "CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem_ipsum, " +
         "CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_curly_brace, " +
-        s"CASE WHEN len(list_intersect(list_transform(${wsWordsSql("t")}, x -> lower(x)), ['badword'])) > 0 THEN 1 ELSE 0 END AS has_bad_word " +
+        raw"CASE WHEN len(list_intersect(list_transform(${wsWordsSql("t")}, x -> regexp_replace(lower(x), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')), ['badword'])) > 0 THEN 1 ELSE 0 END AS has_bad_word " +
         "FROM k) " +
         "SELECT doc_id, text_clean, n_lines, n_kept_lines, n_sentences, " +
         "has_lorem_ipsum, has_curly_brace, has_bad_word, " +
@@ -526,8 +534,8 @@ object SparkEntry {
     // independently (list ops + one gram unnest + window/group aggregates)
     "q_repetition" ->
       (s"WITH w AS (SELECT doc_id, $WsWords AS words, " +
-        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines, " +
-        raw"list_filter(list_transform(string_split_regex(text, '\n{2,}'), p -> trim(p)), p -> length(p) > 0) AS paras " +
+        raw"${wsPartsSql("text", raw"\n")} AS lines, " +
+        raw"${wsPartsSql("text", raw"\n{2,}")} AS paras " +
         "FROM documents), " +
         "base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, " +
         "CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len, " +

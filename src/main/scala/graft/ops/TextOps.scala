@@ -30,6 +30,17 @@ object TextOps {
       .otherwise(split(t, "\\s+"))
   }
 
+  /** Non-blank, \s-trimmed parts of a `sep`-regex split — THE line/paragraph
+    * convention for the rule batteries. Per-part wsTrim (not plain trim)
+    * matters twice: a CRLF line keeps its \r through a "\n" split and a
+    * space-only trim, where (a) Java's `$` anchor matches BEFORE a final \r
+    * while RE2's does not (a silent Spark-vs-oracle divergence on any
+    * crawled corpus), and (b) a tab-prefixed line grows a phantom empty
+    * token under a \s+ word split.
+    */
+  private[ops] def wsParts(text: Column, sep: String): Column =
+    filter(transform(split(text, sep), p => wsTrim(p)), p => length(p) > 0)
+
   /** Token count via whitespace split; empty/blank text counts 0. */
   def tokenCount(text: Column): Column = size(wsWords(text))
 
@@ -328,9 +339,7 @@ object TextOps {
     */
   def gopherQuality(docs: DataFrame): DataFrame = {
     val words = wsWords(col("text"))
-    val lines = filter(
-      transform(split(col("text"), "\n"), l => trim(l)),
-      l => length(l) > 0)
+    val lines = wsParts(col("text"), "\n")
     val base = docs.select(col("doc_id"), words.as("words"), lines.as("lines"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("sum_word_len",
@@ -405,8 +414,7 @@ object TextOps {
     * `SpanDedup.removeDuplicateSpans` / `DedupOps.paragraphDedup`.
     */
   def c4Rules(docs: DataFrame, badWords: Seq[String] = Nil): DataFrame = {
-    val lines = filter(
-      transform(split(col("text"), "\n"), l => trim(l)), l => length(l) > 0)
+    val lines = wsParts(col("text"), "\n")
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
         size(split(l, "\\s+")) >= 5 &&
@@ -415,10 +423,15 @@ object TextOps {
       aggregate(kept, lit(0L),
         (acc, l) => acc + (length(l) - length(regexp_replace(l, "[.!?]", "")))),
       lit(0L))
+    // boundary-normalized token match: strip leading/trailing non-
+    // alphanumerics before comparing, so the sentence-final "badword." and
+    // the shouted "badword!" both match — the \W-boundary behavior of C4's
+    // published regex, without a per-blocklist-entry regex
     val hasBad =
       if (badWords.isEmpty) lit(0)
       else when(arrays_overlap(
-        transform(wsWords(col("text")), w => lower(w)),
+        transform(wsWords(col("text")),
+          w => regexp_replace(lower(w), "^[^a-z0-9]+|[^a-z0-9]+$", "")),
         lit(badWords.map(_.toLowerCase).toArray)), lit(1)).otherwise(lit(0))
     docs.select(col("doc_id"), lines.as("lines"), kept.as("kept"),
         nSentences.as("n_sentences"), hasBad.as("has_bad_word"),
@@ -469,12 +482,11 @@ object TextOps {
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val words = wsWords(col("text"))
-    def parts(sep: String) = filter(
-      transform(split(col("text"), sep), p => trim(p)), p => length(p) > 0)
     def charSum(a: Column) = coalesce(aggregate(a, lit(0L), (acc, x) => acc + length(x)), lit(0L))
 
     val base = docs.select(col("doc_id"), words.as("words"),
-        parts("\n").as("lines"), parts("\n{2,}").as("paras"))
+        wsParts(col("text"), "\n").as("lines"),
+        wsParts(col("text"), "\n{2,}").as("paras"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("sum_word_len", charSum(col("words")))
       .withColumn("n_lines", size(col("lines")).cast("long"))

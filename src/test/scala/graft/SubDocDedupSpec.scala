@@ -828,8 +828,10 @@ class C4RulesSpec extends SparkTestBase {
 
   test("line rules: terminal punctuation, five words, javascript") {
     val m = run(
-      "Good first sentence with five words.\nshort one\nNo final punctuation here at all\n" +
+      "Good first sentence with five words.\nToo short.\nNo final punctuation here at all\n" +
         "Please enable javascript to continue reading now.\nAnother good line is here today!")
+    // "Too short." ends in terminal punctuation — the >=5-word rule ALONE
+    // must drop it
     val r = m(0L)
     assert(r.getAs[Long]("n_lines") == 5)
     assert(r.getAs[Long]("n_kept_lines") == 2)
@@ -853,6 +855,21 @@ class C4RulesSpec extends SparkTestBase {
     assert(m(3L).getAs[Int]("has_bad_word") == 1 && m(3L).getAs[Int]("pass") == 0)
     // token match, not substring: "badwording" must NOT trip the blocklist
     assert(m(4L).getAs[Int]("has_bad_word") == 0 && m(4L).getAs[Int]("pass") == 1)
+  }
+
+  test("punctuation-adjacent bad words and CRLF lines behave like real web text") {
+    val base = "One full sentence sits right here.\nA second sentence follows it closely.\nAnd a third one completes the page."
+    val m = run(
+      base + "\nHe finally shouted badword!",    // sentence-final, boundary match
+      // CRLF text: \r must not defeat the terminal-punctuation rule or
+      // leak into text_clean, and \t must not create a phantom word
+      "First good sentence lives right here.\r\nSecond good sentence also sits here.\r\n\tAnd a third one lands cleanly here.\r")
+    assert(m(0L).getAs[Int]("has_bad_word") == 1 && m(0L).getAs[Int]("pass") == 0)
+    val crlf = m(1L)
+    assert(crlf.getAs[Long]("n_kept_lines") == 3, crlf.toString)
+    assert(!crlf.getAs[String]("text_clean").contains("\r"))
+    assert(!crlf.getAs[String]("text_clean").contains("\t"))
+    assert(crlf.getAs[Int]("pass") == 1)
   }
 
   test("empty and punctuation-free docs clean to empty and fail the floor") {
