@@ -424,7 +424,7 @@ object SparkEntry {
       "FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2 " +
       "HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5), " +
       "scored AS (SELECT doc_id_a, doc_id_b, jaccard * 100.0 AS score, " +
-      "CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(string_split(trim(d.text), ' ')) END AS size_b " +
+      s"len(${wsWordsSql("d.text")}) AS size_b " +
       "FROM pairs JOIN documents d ON d.doc_id = pairs.doc_id_b), " +
       "ranked AS (SELECT doc_id_a, doc_id_b, score, size_b, " +
       "row_number() OVER (PARTITION BY doc_id_a ORDER BY score DESC, doc_id_b ASC) AS position, " +
@@ -640,8 +640,7 @@ object SparkEntry {
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'test' " +
         "ELSE 'train' END AS split FROM documents"),
     "q_decontam" ->
-      (raw"WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
-        raw"ELSE string_split_regex(trim(text), '\s+') END AS words FROM documents), " +
+      (s"WITH w AS (SELECT doc_id, $WsWords AS words FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "generate_series(1, len(words) - 12), i -> array_to_string(words[i:i+12], ' ')))) AS gram " +
         "FROM w WHERE len(words) >= 13), " +

@@ -283,9 +283,10 @@ object DedupOps {
         i => array_join(slice(words, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  private def wordsCol: Column =
-    when(length(trim(col("text"))) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
+  // the repo-wide word-split convention (\s-trim then \s+ split — plain
+  // trim strips only spaces and would leave phantom empty tokens around
+  // newline/tab edges; see TextOps.wsWords)
+  private def wordsCol: Column = TextOps.wsWords(col("text"))
 
   /** Benchmark decontamination (the GPT-3 Appendix-C / PaLM procedure):
     * flag every training doc sharing at least one length-`n` ordered token
