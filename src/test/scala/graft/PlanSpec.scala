@@ -117,6 +117,20 @@ class PlanSpec extends SparkTestBase {
       s"split assignment must be a pure expression:\n$splitPlan")
   }
 
+  test("c4 battery is shuffle-free; repetition battery is UDF-free with one explode") {
+    val docs = spark.range(3).select(col("id").as("doc_id"),
+      concat(lit("A good sentence sits here.\nshort\n"), col("id").cast("string")).as("text"))
+    val c4 = graft.ops.TextOps.c4Rules(docs, Seq("badword"))
+    val c4Plan = c4.queryExecution.executedPlan.toString
+    assert(!c4Plan.toLowerCase.contains("scalaudf"), s"UDF in c4 rules:\n$c4Plan")
+    assert(!c4Plan.contains("Exchange"), s"shuffle in c4 rules:\n$c4Plan")
+    val rep = graft.ops.TextOps.repetitionSignals(docs)
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(!repPlan.toLowerCase.contains("scalaudf"), s"UDF in repetition:\n$repPlan")
+    assert(repPlan.split("Generate explode").length - 1 <= 1,
+      s"repetition must build all n-grams in ONE explode:\n$repPlan")
+  }
+
   test("url filter (literal blocklist) is a pure expression; table variant broadcasts") {
     val urls = spark.range(4)
       .select(col("id").as("doc_id"),
