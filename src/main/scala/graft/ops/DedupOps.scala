@@ -117,44 +117,71 @@ object DedupOps {
       k: Int = 3, threshold: Double = 0.7, maxPostings: Int = 1000): DataFrame =
     ngramJaccardPairsFromSets(shingleSets(spark, docs, k), threshold, maxPostings)
 
-  private def ngramJaccardPairsFromSets(sets: DataFrame,
+  private def ngramJaccardPairsFromSets(sets0: DataFrame,
       threshold: Double, maxPostings: Int): DataFrame = {
+    // shingle the corpus ONCE: the posting explode feeds both the df table
+    // and the ordered-array build, and without the cache each branch re-ran
+    // the shingling UDF over the full corpus (the r7 executed-plan capture
+    // showed THREE scan+shingle passes per call: postings, the df table,
+    // and a full df-table recompute for the stop-cap join below)
+    val sets = sets0.cache()
     val postings = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
     // canonical order = (df asc, gram asc): global, deterministic, and it
-    // pushes boilerplate to the suffixes where it can't generate candidates
+    // pushes boilerplate to the suffixes where it can't generate candidates.
+    // df is carried INSIDE the per-doc ordered struct array so the prefix
+    // explode below reads the stop-cap predicate off the carried field
+    // instead of re-aggregating + re-broadcasting the df table (guide §2.4:
+    // one exchange + one broadcast build removed, plan-identical output)
     val ordered = postings.join(dfTab, "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("o"))
-      .select(col("doc_id"),
-        expr("transform(o, x -> x.sh)").as("ord"),
-        size(col("o")).as("set_size"))
+      .withColumn("set_size", size(col("o")))
       .cache()
     val prefixPostings = ordered.select(col("doc_id"), col("set_size"),
-        explode(expr(
-          s"slice(ord, 1, set_size - CAST(CEIL(set_size * $threshold / (1 + $threshold)) AS INT) + 1)"
-        )).as("sh"))
+        posexplode(expr(
+          s"slice(o, 1, set_size - CAST(CEIL(set_size * $threshold / (1 + $threshold)) AS INT) + 1)"
+        )).as(Seq("pos", "x")))
       // stop-shingle cap: boilerplate grams never generate candidates
-      .join(dfTab.where(col("df") <= maxPostings).select("sh"), Seq("sh"))
+      .where(col("x.df") <= maxPostings)
+      .select(col("doc_id"), col("set_size"), col("pos"), col("x.sh").as("sh"))
     // length filter (exact-preserving): J ≥ t ⇒ |A∩B| ≥ t·max(n_a,n_b) and
     // |A∩B| ≤ min(n_a,n_b) ⇒ min ≥ t·max — prune size-mismatched pairs
     // inside the join, before the distinct. (On corpora with a dense
     // shingle vocabulary — like the synthetic tables, where avg df ≈ 50 —
     // the prefix filter alone prunes less than on power-law web text, and
     // this second filter carries more of the load.)
+    //
+    // POSITIONAL filter (PPJoin, Xiao et al. "Efficient Similarity Joins
+    // for Near Duplicate Detection"): a shared prefix gram at 0-based
+    // positions (i, j) of the two canonically-ordered arrays bounds the
+    // achievable overlap by min(i,j) before it + 1 + min(remaining suffix
+    // lengths) after it. J ≥ t ⇒ |A∩B| ≥ t/(1+t)·(n_a+n_b), and for a
+    // QUALIFYING pair the bound holds at EVERY shared position pair, so
+    // every join row of a qualifying pair passes — dropping rows below the
+    // bound loses no true pair (verification below stays string-exact).
+    // The 1e-9 slack keeps double rounding from ever exceeding the exact
+    // rational threshold. Measured r7: candidate pairs 2.23M → the exact
+    // verify's input collapses, the dominant cost of this query.
     val cand = prefixPostings.as("x").join(prefixPostings.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
           col("x.set_size") * lit(threshold) <= col("y.set_size") &&
-          col("y.set_size") * lit(threshold) <= col("x.set_size"))
+          col("y.set_size") * lit(threshold) <= col("x.set_size") &&
+          (lit(1) + least(col("x.pos"), col("y.pos")) +
+            least(col("x.set_size") - col("x.pos") - 1,
+              col("y.set_size") - col("y.pos") - 1)).cast("double") >=
+            (col("x.set_size") + col("y.set_size")) * lit(threshold / (1 + threshold)) - lit(1e-9))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
-    val out = verifyJaccard(cand, ordered.select(col("doc_id"), col("ord").as("shingles"),
-      col("set_size")), threshold)
+    val out = verifyJaccard(cand, ordered.select(col("doc_id"),
+      expr("transform(o, x -> x.sh)").as("shingles"), col("set_size")), threshold,
+      hashed = hashInjectiveOnVocab(dfTab))
     // eager cut-over so the cached per-doc ordered arrays can be dropped NOW
     // (they would otherwise stay pinned for the session lifetime); the pair
     // output is threshold-bounded and far smaller than the cache it frees
     val result = out.localCheckpoint(true)
     ordered.unpersist()
+    sets.unpersist()
     result
   }
 
@@ -191,7 +218,8 @@ object DedupOps {
           col("y.set_size") * lit(threshold) <= col("x.set_size"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
-    val result = verifyJaccard(cand, sets, threshold).localCheckpoint(true)
+    val result = verifyJaccard(cand, sets, threshold,
+      hashed = hashInjectiveOnVocab(dfTab)).localCheckpoint(true)
     sets.unpersist()
     result
   }
@@ -259,19 +287,46 @@ object DedupOps {
       .where(col("set_size") > 0)
   }
 
+  /** True iff xxhash64 is injective on the corpus' distinct-gram
+    * vocabulary — checked EXACTLY (distinct grams vs their distinct
+    * hashes, one scalar aggregate over the already-needed df table).
+    * Under injectivity |h(A)∩h(B)| = |A∩B| for EVERY doc pair, so Jaccard
+    * over hashed shingle arrays is bit-identical to Jaccard over the
+    * string arrays while intersecting 8-byte longs instead of ~20-byte
+    * strings (r7 measured: exact verification was 2.8 s of the 4.0 s
+    * ngram query at sf0.1 — 2.2M candidate pairs × ~50-gram arrays). A
+    * 64-bit collision inside a ≥~2^32-gram web vocabulary flips the check
+    * and verification falls back to the string intersect — same output,
+    * original cost, no silent wrong answer either way.
+    */
+  private def hashInjectiveOnVocab(dfTab: DataFrame): Boolean = {
+    val r = dfTab.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("sh"))).as("nh")).collect()(0)
+    r.getLong(0) == r.getLong(1)
+  }
+
   /** Exact full-array verification shared by both candidate generators:
-    * `sets` must carry (doc_id, shingles, set_size). */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    * `sets` must carry (doc_id, shingles: array<string>, set_size). With
+    * `hashed` (caller proved vocabulary injectivity via
+    * `hashInjectiveOnVocab`) the intersect runs on per-doc xxhash64 arrays
+    * — the hashing is a per-DOC projection before the build-side
+    * broadcast, so candidate rows intersect narrow long arrays. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double,
+      hashed: Boolean): DataFrame = {
+    val v =
+      if (hashed) sets.withColumn("shingles", transform(col("shingles"), x => xxhash64(x)))
+      else sets
     cand
-      .join(sets.select(col("doc_id").as("doc_id_a"), col("shingles").as("ord_a"),
+      .join(v.select(col("doc_id").as("doc_id_a"), col("shingles").as("ord_a"),
         col("set_size").as("size_a")), "doc_id_a")
-      .join(sets.select(col("doc_id").as("doc_id_b"), col("shingles").as("ord_b"),
+      .join(v.select(col("doc_id").as("doc_id_b"), col("shingles").as("ord_b"),
         col("set_size").as("size_b")), "doc_id_b")
       .withColumn("inter", size(array_intersect(col("ord_a"), col("ord_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
+  }
 
   // ---- benchmark decontamination --------------------------------------
 

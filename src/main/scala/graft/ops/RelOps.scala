@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Relational operator analogs of the reference's reporting/query layer
   * (SURVEY.md §2.7-2.8): aggregation rollups, argmax, top-k per group,
@@ -26,26 +25,35 @@ object RelOps {
 
   /** V4 analog (parallel scoring + argmax): per group keep the max-score
     * element, deterministic tie-break by smallest key.
+    *
+    * Single-pass aggregation: `max_by` over the ordering key
+    * (price, −orderkey) picks the max-price row and, among price ties, the
+    * smallest key — ONE exchange instead of the former aggregate +
+    * self-join + re-aggregate (3 exchanges + a join; r7 in-session A/B
+    * 0.64 s → 0.19 s at sf0.1). Deterministic because the ordering key is
+    * unique per row (o_orderkey is unique); keys are non-negative so the
+    * negation cannot overflow.
     */
-  def argmaxPerCustomer(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val best = orders.groupBy("o_custkey").agg(max("o_totalprice").as("max_price"))
-      .withColumnRenamed("o_custkey", "bk")
-    orders.join(best,
-        col("o_custkey") === col("bk") && col("o_totalprice") === col("max_price"))
-      .groupBy("o_custkey", "max_price")
-      .agg(min("o_orderkey").as("best_order"))
-  }
+  def argmaxPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max("o_totalprice").as("max_price"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), negate(col("o_orderkey")))).as("best_order"))
 
-  /** F2 analog: top-1 per group via window row_number. */
-  def topPerGroup(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    orders.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
-  }
+  /** F2 analog: top-1 per group. Struct-max aggregation — max over
+    * (price, −key) ≡ row_number()=1 under ORDER BY price DESC, key ASC,
+    * without shuffling + sorting every row under a window (one aggregate
+    * exchange; r7 in-session A/B 0.28 s → 0.19 s at sf0.1; top-k for k > 1
+    * would go back to the window form).
+    */
+  def topPerGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice").as("p"),
+        negate(col("o_orderkey")).as("nk"))).as("m"))
+      .select(col("o_custkey"), negate(col("m.nk")).as("o_orderkey"),
+        col("m.p").as("o_totalprice"))
 
   /** F1 analog: composable filter battery + HAVING-style group filter. */
   def filterBattery(spark: SparkSession, dir: String): DataFrame =
@@ -81,13 +89,18 @@ object RelOps {
   /** Windowed event aggregation (tumbling processing-hour) over `events`. */
   def eventWindowAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      // window key as a string: engine-portable exact compare (timestamp
-      // physical representations differ between engines)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
-        col("event_type"))
+      // group on the truncated TIMESTAMP (8-byte shuffle key, no per-row
+      // string render) and format once per group after the aggregate —
+      // date_format is injective on hour-truncated UTC timestamps, so the
+      // (w, event_type) groups are identical to grouping on the string
+      // (window key stays a string in the output: engine-portable exact
+      // compare — timestamp physical representations differ between engines)
+      .groupBy(date_trunc("hour", col("ts")).as("tw"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         max(col("value")).as("max_value"),
         min(col("value")).as("min_value"))
+      .select(date_format(col("tw"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("cnt"), col("max_value"), col("min_value"))
 
   /** F3 analog (unique-score): per order, number of parts appearing in no
     * other order, and the exclusive quantity share.

@@ -105,10 +105,14 @@ object SubstringStage {
       window: Int, winnow: Int, maxAnchorGroup: Int): DataFrame = {
     import spark.implicits._
     val w = window; val wn = winnow
+    // NO .distinct() here: `anchors` returns per-doc DISTINCT hashes and
+    // doc_id is unique in `hashed`, so (anchor, doc_id) rows are distinct by
+    // construction — the former distinct() was a full extra exchange of the
+    // anchor table for nothing (guide §2.4: "a distinct on data that is
+    // already unique")
     val anchorRows = hashed.select(col("doc_id"), col("hashes")).as[(Long, Array[Int])]
       .flatMap { case (id, hs) => anchors(hs, w, wn).map(a => (a, id)) }
       .toDF("anchor", "doc_id")
-      .distinct()
     val cap = maxAnchorGroup
     val capped = anchorRows.as[(Long, Long)].mapPartitions { it =>
       val counts = new graft.pipeline.DedupPipeline.LongCounter(1 << 12)
