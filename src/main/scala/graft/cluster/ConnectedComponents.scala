@@ -130,42 +130,77 @@ object ConnectedComponents {
   /** Driver-side union-find with path compression + union-by-rank, then a
     * relabel to the component-minimum id so the output is bit-identical to
     * the distributed path's (component = min node id).
+    *
+    * Node bookkeeping runs on an open-addressed PRIMITIVE long map
+    * (node → dense index) and flat int/long arrays: the earlier
+    * java.util.HashMap[Long, Long] form boxed every node and every rank
+    * update (~200–400 B/edge of driver garbage — the reason the cutover
+    * threshold is heap-gated), and at the bench corpus (~880k collected
+    * edges) spent a measurable fraction of the CC stage in autoboxing +
+    * rehash. Same union-find, same relabel contract, same output rows.
     */
   private def runDriver(spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val pairs = edges.select(col("lo"), col("hi")).as[(Long, Long)].collect()
-    val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
-    val rank = new java.util.HashMap[Long, Int]()
-    def find(x0: Long): Long = {
+    // node id → dense index (insertion order preserved for output stability)
+    val capWant = math.max(16, pairs.length * 4)
+    val tableCap = Integer.highestOneBit(capWant - 1) * 2
+    val keys = new Array[Long](tableCap)
+    val slotIdx = new Array[Int](tableCap)
+    java.util.Arrays.fill(slotIdx, -1)
+    var n = 0
+    var nodeIds = new Array[Long](math.max(16, pairs.length))
+    def indexOf(k: Long): Int = {
+      var i = (graft.hash.SimHash.mix64(k) & (tableCap - 1)).toInt
+      while (slotIdx(i) != -1) {
+        if (keys(i) == k) return slotIdx(i)
+        i = (i + 1) & (tableCap - 1)
+      }
+      keys(i) = k
+      slotIdx(i) = n
+      if (n >= nodeIds.length) nodeIds = java.util.Arrays.copyOf(nodeIds, nodeIds.length * 2)
+      nodeIds(n) = k
+      n += 1
+      n - 1
+    }
+    val parent = new Array[Int](math.max(16, pairs.length * 2))
+    val rank = new Array[Byte](parent.length)
+    var m = 0 // nodes materialized in parent so far
+    def ensure(i: Int): Unit = while (m <= i) { parent(m) = m; m += 1 }
+    def find(x0: Int): Int = {
       var x = x0
-      while (parent.getOrDefault(x, x) != x) {
-        val p = parent.getOrDefault(x, x)
-        parent.put(x, parent.getOrDefault(p, p)) // path halving
-        x = parent.getOrDefault(x, x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
       }
       x
     }
-    def union(a: Long, b: Long): Unit = {
-      val ra = find(a); val rb = find(b)
+    var e = 0
+    while (e < pairs.length) {
+      val (a, b) = pairs(e)
+      val ia = indexOf(a); val ib = indexOf(b)
+      ensure(math.max(ia, ib))
+      val ra = find(ia); val rb = find(ib)
       if (ra != rb) {
-        val ka = rank.getOrDefault(ra, 0); val kb = rank.getOrDefault(rb, 0)
-        if (ka < kb) parent.put(ra, rb)
-        else if (ka > kb) parent.put(rb, ra)
-        else { parent.put(rb, ra); rank.put(ra, ka + 1) }
+        val ka = rank(ra); val kb = rank(rb)
+        if (ka < kb) parent(ra) = rb
+        else if (ka > kb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (ka + 1).toByte }
       }
+      e += 1
     }
-    pairs.foreach { case (a, b) => union(a, b) }
     // relabel roots to the minimum member id (the distributed contract)
-    val minOfRoot = new java.util.HashMap[Long, Long]()
-    val nodes = new scala.collection.mutable.ArrayBuffer[Long](pairs.length * 2)
-    pairs.foreach { case (a, b) => nodes += a; nodes += b }
-    val distinctNodes = nodes.distinct
-    distinctNodes.foreach { n =>
-      val r = find(n)
-      val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
-      if (n < cur) minOfRoot.put(r, n)
+    val minOfRoot = new Array[Long](n)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (nodeIds(i) < minOfRoot(r)) minOfRoot(r) = nodeIds(i)
+      i += 1
     }
-    val rows = distinctNodes.map(n => (n, minOfRoot.get(find(n))))
+    val rows = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { rows(i) = (nodeIds(i), minOfRoot(find(i))); i += 1 }
     spark.createDataset(rows.toSeq).toDF("id", "component")
   }
 

@@ -756,6 +756,11 @@ object DedupPipeline {
       keyed: Dataset[(Long, Long)], cap: Int): DataFrame = {
     import spark.implicits._
     val maxTracked = 4 << 20
+    // NO .distinct(): each partition emits a key at most once (exactly when
+    // its local count crosses cap+1), so duplicates are bounded by the map
+    // count — and the only consumer is a broadcast LEFT ANTI join, whose
+    // semantics ignore build-side duplicates. The former distinct() was one
+    // full exchange per pairsFromBands call (guide §2.4).
     keyed.mapPartitions { it =>
       val counts = new DedupPipeline.LongCounter(1 << 16)
       val hot = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -763,7 +768,7 @@ object DedupPipeline {
         if (counts.incrBounded(k, maxTracked) == cap + 1) hot += k
       }
       hot.iterator
-    }.toDF("band_key").distinct()
+    }.toDF("band_key")
   }
 
   /** Shared skew-capped pair emission from a band table
