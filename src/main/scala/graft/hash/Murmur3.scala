@@ -69,4 +69,10 @@ object Murmur3 {
 
   def hashU(data: Array[Byte], seed: Int): Long =
     hashBytes(data, seed).toLong & 0xffffffffL
+
+  /** Slice variant of the unsigned hash — hot paths (band hashing) fill a
+    * reusable ASCII scratch and hash it with several seeds without
+    * materializing a String or re-encoding UTF-8 per seed. */
+  def hashU(data: Array[Byte], offset: Int, len: Int, seed: Int): Long =
+    hashBytes(data, offset, len, seed).toLong & 0xffffffffL
 }

@@ -30,16 +30,50 @@ final class Bands(cfg: GraftConfig) extends Serializable {
   def bandHashes(sig: Array[Int]): Array[Long] = {
     val proj = projection
     val out = new Array[Long](proj.length)
+    val buf = Bands.scratch.get()
     var b = 0
     while (b < proj.length) {
       val idx = proj(b)
-      val sb = new java.lang.StringBuilder(idx.length * 4)
+      var pos = 0
       var i = 0
-      while (i < idx.length) { sb.append(sig(idx(i))); i += 1 }
-      val s = sb.toString
-      out(b) = Murmur3.hashU(s, 0) | (Murmur3.hashU(s, 1) << 32)
+      while (i < idx.length) { pos = Bands.writeIntAscii(buf, pos, sig(idx(i))); i += 1 }
+      // same bytes the old form hashed (decimal stringification is pure
+      // ASCII, so UTF-8 of the concatenated string == these bytes), without
+      // materializing the String or encoding it once per seed — band
+      // hashing runs over every posting of every banded doc (hot path)
+      out(b) = Murmur3.hashU(buf, 0, pos, 0) | (Murmur3.hashU(buf, 0, pos, 1) << 32)
       b += 1
     }
     out
+  }
+}
+
+object Bands {
+  /** Per-thread decimal scratch: band strings are ≤ bandSize × 11 ASCII
+    * bytes; 1 KiB covers every configured geometry with a wide margin (the
+    * writer still bounds-checks via the caller contract below). */
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1024)
+  }
+
+  /** Writes `v`'s decimal representation (exactly `Integer.toString`) at
+    * `pos`, returning the new position. Callers must leave ≥ 11 bytes of
+    * headroom per int — bandHashes' 1 KiB scratch vs ≤ ~64-int bands. */
+  private[kernel] def writeIntAscii(buf: Array[Byte], pos: Int, v: Int): Int = {
+    var p = pos
+    var x = v.toLong // Int.MinValue-safe negation
+    if (x < 0) { buf(p) = '-'; p += 1; x = -x }
+    // digits emitted most-significant first via a fixed 10-digit scan
+    var started = false
+    var div = 1000000000L
+    while (div > 0) {
+      val d = (x / div).toInt
+      if (d != 0 || started || div == 1L) {
+        buf(p) = ('0' + d).toByte; p += 1; started = true
+      }
+      x %= div
+      div /= 10
+    }
+    p
   }
 }

@@ -38,13 +38,17 @@ object DedupOps {
       opts: PipelineOptions = PipelineOptions()): DataFrame = {
     val pipe = new DedupPipeline(spark, cfg, opts)
     val out = pipe.run(asCorpus(docs), fromHtml = false)
-    // map synthetic internal ids back to doc ids via the url key
+    // map synthetic internal ids back to doc ids via the url key, then
+    // relabel each cluster with its min ORIGINAL doc id. One window over
+    // cluster_id: the earlier groupBy(cluster)+join form referenced `out`
+    // twice, so the pipeline's whole assignment plan (exact edges + final
+    // join) executed twice per call — the window reads it once and replaces
+    // the aggregate exchange + broadcast build with a single exchange
+    // (guide §2.4; same rows: every row belongs to exactly one cluster)
     out.withColumn("doc_id", expr("cast(substring(url, 4) as long)"))
-      .join(out.select(col("cluster_id").as("c2"), col("url").as("u2"))
-          .withColumn("cdoc", expr("cast(substring(u2, 4) as long)"))
-          .groupBy("c2").agg(min("cdoc").as("cluster_doc_id")),
-        col("cluster_id") === col("c2"))
-      .select("doc_id", "cluster_doc_id")
+      .select(col("doc_id"),
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")).as("cluster_doc_id"))
   }
 
   /** Verified near-dup pairs (doc_id_a < doc_id_b, score). */
@@ -138,13 +142,21 @@ object DedupOps {
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("o"))
       .withColumn("set_size", size(col("o")))
       .cache()
+    // one scalar aggregate decides hashed-vs-string evaluation for BOTH the
+    // candidate join key and the verification arrays (see
+    // hashInjectiveOnVocab): under proven injectivity xxhash64(sh) equality
+    // ⟺ sh equality on this corpus' vocabulary, so the self-join below can
+    // exchange and compare 8-byte longs instead of ~20-byte strings —
+    // identical candidates, narrower shuffle (guide §2.3)
+    val hashed = hashInjectiveOnVocab(dfTab)
     val prefixPostings = ordered.select(col("doc_id"), col("set_size"),
         posexplode(expr(
           s"slice(o, 1, set_size - CAST(CEIL(set_size * $threshold / (1 + $threshold)) AS INT) + 1)"
         )).as(Seq("pos", "x")))
       // stop-shingle cap: boilerplate grams never generate candidates
       .where(col("x.df") <= maxPostings)
-      .select(col("doc_id"), col("set_size"), col("pos"), col("x.sh").as("sh"))
+      .select(col("doc_id"), col("set_size"), col("pos"),
+        (if (hashed) xxhash64(col("x.sh")) else col("x.sh")).as("sh"))
     // length filter (exact-preserving): J ≥ t ⇒ |A∩B| ≥ t·max(n_a,n_b) and
     // |A∩B| ≤ min(n_a,n_b) ⇒ min ≥ t·max — prune size-mismatched pairs
     // inside the join, before the distinct. (On corpora with a dense
@@ -175,7 +187,7 @@ object DedupOps {
       .distinct()
     val out = verifyJaccard(cand, ordered.select(col("doc_id"),
       expr("transform(o, x -> x.sh)").as("shingles"), col("set_size")), threshold,
-      hashed = hashInjectiveOnVocab(dfTab))
+      hashed = hashed)
     // eager cut-over so the cached per-doc ordered arrays can be dropped NOW
     // (they would otherwise stay pinned for the session lifetime); the pair
     // output is threshold-bounded and far smaller than the cache it frees
@@ -211,7 +223,12 @@ object DedupOps {
     val sets = sets0.cache()
     val postings = sets.select(col("doc_id"), col("set_size"), explode(col("shingles")).as("sh"))
     val dfTab = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    // hashed join key under proven vocabulary injectivity — identical
+    // candidates, long vs string exchange (see the prefix variant)
+    val hashed = hashInjectiveOnVocab(dfTab)
     val keep = postings.join(dfTab.where(col("df") <= maxPostings).select("sh"), Seq("sh"))
+      .select(col("doc_id"), col("set_size"),
+        (if (hashed) xxhash64(col("sh")) else col("sh")).as("sh"))
     val cand = keep.as("x").join(keep.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
           col("x.set_size") * lit(threshold) <= col("y.set_size") &&
@@ -219,7 +236,7 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
     val result = verifyJaccard(cand, sets, threshold,
-      hashed = hashInjectiveOnVocab(dfTab)).localCheckpoint(true)
+      hashed = hashed).localCheckpoint(true)
     sets.unpersist()
     result
   }

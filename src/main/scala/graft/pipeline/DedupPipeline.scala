@@ -274,7 +274,7 @@ final class DedupPipeline(
     * input urls are NOT collisions: they collapse by design (S1 dedup by
     * key, ≅ sha256 dedup, MemoryStorage.py:369) and stay untouched.
     */
-  def resolveIdCollisions(sigs0: DataFrame): DataFrame = {
+  def resolveIdCollisions(sigs0: DataFrame, urlUnique: Boolean = false): DataFrame = {
     val rehash = udf((url: String, round: Int) => SimHash.hash64(s"doc:$round:$url"))
     var cur = sigs0
     var round = 1
@@ -285,11 +285,20 @@ final class DedupPipeline(
       // urls on one id are collisions — runs only over the suspicious ids
       val suspicious = cur.groupBy("doc_id").agg(count(lit(1)).as("n"))
         .where(col("n") > 1).select("doc_id")
-      val collided = cur.join(broadcast(suspicious), "doc_id")
-        .groupBy("doc_id")
-        .agg(min("url").as("u_min"), max("url").as("u_max"))
-        .where(col("u_min") =!= col("u_max"))
-        .select("doc_id")
+      // urlUnique: the caller guarantees one row per url (signatureStage's S1
+      // reduceGroups output — run()'s case). Then ANY doc_id with >1 row is
+      // >1 DISTINCT urls, i.e. a collision, and the disambiguation pass
+      // (broadcast build + join + second aggregate — two more chained stage
+      // barriers per audit) is provably redundant. Misuse is loud, not
+      // silent: duplicate urls rehash to the SAME id every round, so the
+      // loop cannot converge and throws below.
+      val collided =
+        if (urlUnique) suspicious
+        else cur.join(broadcast(suspicious), "doc_id")
+          .groupBy("doc_id")
+          .agg(min("url").as("u_min"), max("url").as("u_max"))
+          .where(col("u_min") =!= col("u_max"))
+          .select("doc_id")
       if (collided.isEmpty) clean = true
       else {
         cur = cur.join(broadcast(collided.withColumn("_hit", lit(true))), Seq("doc_id"), "left")
@@ -454,7 +463,7 @@ final class DedupPipeline(
     val sigsRaw = runStage("signatures", s"fromHtml=$fromHtml", Nil) {
       signatureStage(docs).toDF()
     }.cache()
-    val sigs0 = if (opts.auditIds) resolveIdCollisions(sigsRaw) else sigsRaw
+    val sigs0 = if (opts.auditIds) resolveIdCollisions(sigsRaw, urlUnique = true) else sigsRaw
     val sigs = sigs0.where(col("hashable"))
 
     // exact channel over ALL has_exact docs (incl. short non-minhashable ones)
@@ -586,7 +595,7 @@ final class DedupPipeline(
     val allHashable = oldSigs0.where(col("hashable")).unionByName(newSigs0.where(col("hashable")))
     val lsh = verifyStage(candTouchingNew, allHashable)
       .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
-    DedupPipeline.mergeChannels(lsh, exactEdges)
+    DedupPipeline.unionDisjointChannels(lsh, exactEdges)
   }
 
   /** The probe plan's inputs and state deltas (see `ProbeParts`) — split
@@ -672,7 +681,7 @@ final class DedupPipeline(
     val candidates = candidateStage(all, cfg.bandMatchesRequired)
     val lsh = verifyStage(candidates, sigs)
       .select(col("a").as("src"), col("b").as("dst"), col("score"), col("hamming"))
-    DedupPipeline.mergeChannels(lsh, exactEdges)
+    DedupPipeline.unionDisjointChannels(lsh, exactEdges)
   }
 }
 
@@ -919,5 +928,30 @@ object DedupPipeline {
     l.unionByName(e).groupBy("src", "dst")
       .agg(max("score").as("score"), min("hamming").as("hamming"),
         bit_or(col("flags")).cast("int").as("flags"))
+  }
+
+  /** `mergeChannels` for callers whose two channels are DISJOINT by
+    * construction, where the per-pair merge aggregate is the identity and
+    * its exchange is pure overhead (guide §2.4: a distinct/merge over data
+    * that is already unique). The rep-only banding invariant makes the
+    * batch and probe pair producers exactly such callers: an LSH pair's
+    * BOTH endpoints sit in the band table = {exact-group reps} ∪ {hashable
+    * docs with no exact hash}, while an exact edge's dst is a NON-rep
+    * member of an exact group — a doc that, having an exact hash and not
+    * being its group's rep, is excluded from the band table. No (src, dst)
+    * can therefore appear in both inputs, and within each channel pairs are
+    * already unique (verifyStage's candidates arrive grouped on (a, b);
+    * exactGroups emits one edge per member). Same schema and rows as
+    * `mergeChannels`, one less shuffle. (A 64-bit doc_id birthday collision
+    * could break the premise; `run()` repairs those ids before pairing, and
+    * the pair surfaces inherit the same astronomical-rarity trade the rest
+    * of the unaudited pair path already makes.)
+    */
+  def unionDisjointChannels(lsh: DataFrame, exactEdges: DataFrame): DataFrame = {
+    val l = lsh.select(col("src"), col("dst"), col("score"), col("hamming"),
+      lit(FlagMinhash).as("flags"))
+    val e = exactEdges.select(col("src"), col("dst"),
+      lit(100.0).as("score"), lit(0).as("hamming"), lit(FlagExact).as("flags"))
+    l.unionByName(e)
   }
 }
