@@ -130,14 +130,19 @@ object AnnOps {
       dim: Int = 64, maxBucket: Int = 2000): DataFrame = {
     val cand = candidatePairs(df, tables, planes, dim, maxBucket)
     val e = df.select(col("vec_id"), col("embedding"))
-    // symmetric: each unordered candidate pair serves both directions
-    val sym = cand.select(col("a"), col("b"))
-      .unionByName(cand.select(col("b").as("a"), col("a").as("b")))
-    val scored = sym
+    // join + score each UNORDERED pair once, then emit both directions with
+    // a generator: the earlier form unioned cand with its swap BEFORE the
+    // embedding joins, so every pair probed the joins and evaluated the
+    // cosine twice (guide §1.2 "don't compute things twice"; cos is
+    // symmetric, so the duplicated row carries the identical score)
+    val scored = cand.select(col("a"), col("b"))
       .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "e_a"), "a")
       .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "e_b"), "b")
-      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+      .select(explode(array(
+          struct(col("a").as("query_id"), col("b").as("neighbor_id")),
+          struct(col("b").as("query_id"), col("a").as("neighbor_id")))).as("p"),
         cosine(col("e_a"), col("e_b")).as("cos"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
