@@ -339,6 +339,28 @@ class DedupPipelineSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
     assert(again.toSeq == fixed.sortBy(_._2).toSeq)
   }
+
+  test("url-unique audit paths: one-phase check and the optimistic gate") {
+    import spark.implicits._
+    val pipe = new DedupPipeline(spark)
+    // hasIdCollisions — the gate run()'s overlapped audit awaits
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "url")
+    assert(!pipe.hasIdCollisions(clean))
+    val dirty = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "url")
+    assert(pipe.hasIdCollisions(dirty))
+    // urlUnique=true on url-unique input: same repair as the two-phase form
+    val fixed = pipe.resolveIdCollisions(dirty, urlUnique = true).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUrl = fixed.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    assert(byUrl("a").head != byUrl("b").head, "collision must be repaired")
+    assert(byUrl("c").toSeq == Seq(2L), "clean ids stay untouched")
+    // misuse (duplicate urls under urlUnique=true) fails LOUDLY: identical
+    // urls rehash identically every round, so the loop cannot converge
+    val dupUrls = Seq((9L, "d"), (9L, "d")).toDF("doc_id", "url")
+    intercept[IllegalStateException] {
+      pipe.resolveIdCollisions(dupUrls, urlUnique = true).collect()
+    }
+  }
 }
 
 class DedupJobSpec extends SparkTestBase {
