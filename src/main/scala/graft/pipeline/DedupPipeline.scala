@@ -255,10 +255,15 @@ final class DedupPipeline(
     * signature table: docs in the [exactHashMinTokens, minTokens] gap are
     * not minhashable but byte-identical short docs must still exact-dedup.
     */
-  def exactGroups(sigs: DataFrame): (DataFrame, DataFrame) = {
+  def exactGroups(sigs: DataFrame,
+      precomputedReps: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val withExact = sigs.where(col("has_exact"))
-    val reps = withExact.groupBy("exact_hash", "exact_hash2")
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+    // precomputedReps: callers whose reps table feeds SEVERAL
+    // separately-materialized jobs pass a checkpointed/cached copy so the
+    // 128-bit groupBy runs once, not once per consuming job
+    val reps = precomputedReps.getOrElse(
+      withExact.groupBy("exact_hash", "exact_hash2")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size")))
     val exactEdges = withExact.select("exact_hash", "exact_hash2", "doc_id")
       .join(reps.select("exact_hash", "exact_hash2", "rep_id"),
         Seq("exact_hash", "exact_hash2"))
@@ -493,9 +498,17 @@ final class DedupPipeline(
     def runFromAudited(sigs0: DataFrame): DataFrame = {
     val sigs = sigs0.where(col("hashable"))
 
-    // exact channel over ALL has_exact docs (incl. short non-minhashable ones)
-    val (reps, exactEdges0) = exactGroups(sigs0)
-    val exactEdges = runStage("exact_edges", "", Seq("signatures")) { exactEdges0 }
+    // exact channel over ALL has_exact docs (incl. short non-minhashable ones).
+    // reps feeds TWO separately-materialized jobs (the bands/candidates
+    // checkpoint and the exact-edges/CC job); a LAZY localCheckpoint makes
+    // the first consumer materialize the small rep table once and the
+    // second reuse the stored blocks instead of re-running the 128-bit
+    // groupBy over the signature cache (guide §1.2: one aggregation, not
+    // two; no extra job — eager=false rides the first consumer's action)
+    val reps = exactGroups(sigs0)._1.localCheckpoint(eager = false)
+    val exactEdges = runStage("exact_edges", "", Seq("signatures")) {
+      exactGroups(sigs0, Some(reps))._2
+    }
 
     val bandTable = runStage("bands",
         s"bands=${cfg.bands},sh=${opts.simHashChannel},shmax=${opts.simHashMaxHamming},bandsv=2",
@@ -720,8 +733,12 @@ final class DedupPipeline(
     */
   def dupPairsFromSigs(sigs0: DataFrame): DataFrame = {
     val sigs = sigs0.where(col("hashable"))
-    // exact channel sees ALL has_exact docs, incl. the short non-minhashable gap
-    val (reps, exactEdges) = exactGroups(sigs0)
+    // exact channel sees ALL has_exact docs, incl. the short non-minhashable
+    // gap. Lazy-checkpoint reps: the band table (candidates job) and the
+    // exact edges (merge job) materialize in different jobs — one 128-bit
+    // groupBy instead of two (see run()'s identical pattern)
+    val reps = exactGroups(sigs0)._1.localCheckpoint(eager = false)
+    val exactEdges = exactGroups(sigs0, Some(reps))._2
     val all = repBandTable(sigs0, Some(reps))
     val candidates = candidateStage(all, cfg.bandMatchesRequired)
     val lsh = verifyStage(candidates, sigs)
